@@ -1,0 +1,120 @@
+"""FASTQ/FASTA(.gz) streaming reader/writer (host side, no dependencies).
+
+Replaces the reference's reliance on BioPython/dnaio parsing
+(amplicon_sorter.py:519-646 ``read_file`` autodetects fasta/fastq/.gz);
+same autodetection behavior, plus batch iteration sized for device feeds.
+"""
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from dataclasses import dataclass
+from typing import Iterable, Iterator, List, Optional
+
+
+@dataclass
+class Record:
+    """One sequencing read. ``qual`` is None for FASTA records."""
+    id: str              # header up to first whitespace, without '>'/'@'
+    desc: str            # full header line without the leading '>'/'@'
+    seq: str
+    qual: Optional[str] = None
+
+    def mean_q(self) -> float:
+        """Mean Phred quality (arithmetic mean of Q values, matching
+        pychopper's -Q mean-quality filter semantics, 01_pychopper.sh:16,51)."""
+        if not self.qual:
+            return 0.0
+        s = sum(ord(c) - 33 for c in self.qual)
+        return s / len(self.qual)
+
+
+def _open(path, mode="rt"):
+    if str(path).endswith(".gz"):
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
+def sniff_format(path) -> str:
+    """Return 'fastq' or 'fasta' by first byte (reference autodetects the
+    same way, amplicon_sorter.py:528-546)."""
+    with _open(path) as fh:
+        first = fh.read(1)
+    if first == "@":
+        return "fastq"
+    if first == ">":
+        return "fasta"
+    raise ValueError(f"{path}: not FASTA/FASTQ (first char {first!r})")
+
+
+def read_records(path) -> Iterator[Record]:
+    fmt = sniff_format(path)
+    if fmt == "fastq":
+        yield from read_fastq(path)
+    else:
+        yield from read_fasta(path)
+
+
+def read_fastq(path) -> Iterator[Record]:
+    with _open(path) as fh:
+        while True:
+            h = fh.readline()
+            if not h:
+                return
+            h = h.rstrip("\n")
+            if not h:
+                continue
+            if not h.startswith("@"):
+                raise ValueError(f"{path}: bad FASTQ header {h!r}")
+            seq = fh.readline().rstrip("\n")
+            plus = fh.readline()
+            if not plus.startswith("+"):
+                raise ValueError(f"{path}: bad FASTQ separator after {h!r}")
+            qual = fh.readline().rstrip("\n")
+            desc = h[1:]
+            yield Record(desc.split()[0] if desc else "", desc, seq, qual)
+
+
+def read_fasta(path) -> Iterator[Record]:
+    with _open(path) as fh:
+        desc = None
+        chunks: List[str] = []
+        for line in fh:
+            line = line.rstrip("\n")
+            if line.startswith(">"):
+                if desc is not None:
+                    seq = "".join(chunks)
+                    yield Record(desc.split()[0] if desc else "", desc, seq)
+                desc = line[1:].strip()
+                chunks = []
+            elif line:
+                chunks.append(line.strip())
+        if desc is not None:
+            yield Record(desc.split()[0] if desc else "", desc, "".join(chunks))
+
+
+def write_records(path, records: Iterable[Record], fmt: Optional[str] = None):
+    """Write records as FASTQ if they have qualities (unless fmt forces)."""
+    records = list(records)
+    if fmt is None:
+        fmt = "fastq" if (records and records[0].qual is not None) else "fasta"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with _open(path, "wt") as fh:
+        if fmt == "fastq":
+            for r in records:
+                fh.write(f"@{r.desc}\n{r.seq}\n+\n{r.qual or ''}\n")
+        else:
+            for r in records:
+                fh.write(f">{r.desc}\n{r.seq}\n")
+
+
+def iter_batches(records: Iterable[Record], batch_size: int) -> Iterator[List[Record]]:
+    batch: List[Record] = []
+    for r in records:
+        batch.append(r)
+        if len(batch) == batch_size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch

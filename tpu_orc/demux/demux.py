@@ -1,0 +1,207 @@
+"""Dual-round demultiplexing with cutadapt-equivalent semantics on device.
+
+Replaces /root/reference/scripts/02_cutadapt_loop.sh:
+
+  Round 1 (:64-72):  cutadapt --action=trim -e 0.1 --rc -g file:SP5
+                     -o SP5/{name}_<ds>.fastq.gz
+  Round 2 (:91-103): per SP5 bin, cutadapt --action=trim -e 0.1 --rc
+                     -a file:SP27_rc -o SP27/{name}_<sp5>_<ds>.fastq.gz
+  Cleanup (:108-118): delete *unknown* bins and SP27_009..012 combos.
+
+Selection semantics replicated from cutadapt:
+  * per adapter: best location by (max matches, then min errors, then
+    earliest scan position) — see align/spec.py;
+  * across adapters: maximum ``matches`` wins, first adapter in file order
+    wins ties;
+  * --rc: the read and its reverse complement are both searched; the
+    orientation with strictly more matches wins (forward wins ties); a
+    reverse-complemented output read gets a " rc" name suffix.
+
+Device path: reads are length-bucketed, packed to [B, L] mask batches, and
+scored by align.batched.batched_locate (fwd and rc in one [2B] batch).
+Host keeps only the per-read (adapter, orientation, trim points) triple and
+does the string slicing + file IO.
+"""
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..align.batched import batched_locate
+from ..align.spec import FRONT, BACK, DEFAULT_MIN_OVERLAP
+from ..io import encode
+from ..io.fastq import Record, write_records
+from .adapters import AdapterBank
+
+UNKNOWN = "unknown"
+
+
+@dataclass
+class Assignment:
+    """Demux decision for one read."""
+    adapter: Optional[str]   # adapter name or None (-> unknown bin)
+    rc: bool                 # read was reverse-complemented before trimming
+    trimmed: Record          # output read (trimmed, oriented)
+
+
+def _best_per_read(res) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Across-adapter selection: max matches, first adapter wins ties.
+
+    Returns (adapter_idx [B] int32 (-1 none), matches, qstart, qstop).
+    """
+    valid = np.asarray(res.valid).astype(bool)
+    matches = np.where(valid, np.asarray(res.matches), -1)
+    idx = np.argmax(matches, axis=1)  # first max index = file order tie-break
+    b = np.arange(matches.shape[0])
+    best_m = matches[b, idx]
+    none = best_m < 0
+    idx = np.where(none, -1, idx)
+    qstart = np.asarray(res.querystart)[b, np.maximum(idx, 0)]
+    qstop = np.asarray(res.querystop)[b, np.maximum(idx, 0)]
+    return idx.astype(np.int32), best_m, qstart, qstop
+
+
+def _bucket_pad(n: int) -> int:
+    """Pad length to a small set of bucket caps to bound jit recompiles."""
+    for cap in (128, 256, 512, 1024, 2048, 4096, 8192):
+        if n <= cap:
+            return cap
+    return encode.pad_to(n, 8192)
+
+
+def locate_batch(bank: AdapterBank, seqs: Sequence[str], flags,
+                 min_overlap: int = DEFAULT_MIN_OVERLAP):
+    """Run batched_locate for a list of ASCII reads; returns LocateResult."""
+    L = _bucket_pad(max((len(s) for s in seqs), default=1))
+    masks, lens = encode.pack_batch(
+        seqs, max_len=L, pad_multiple=1,
+        encoder=encode.encode_read_masks, pad_value=0)
+    return batched_locate(bank.masks, bank.lens, bank.k_table, bank.n_prefix,
+                          masks, lens, int(flags), min_overlap)
+
+
+def assign_reads(records: Sequence[Record], bank: AdapterBank, where: str,
+                 rc: bool = True, batch_size: int = 256,
+                 min_overlap: int = DEFAULT_MIN_OVERLAP) -> List[Assignment]:
+    """cutadapt-equivalent single-round demux of ``records``.
+
+    where: 'front' (-g, trim adapter + preceding) or 'back' (-a, trim
+    adapter + following). rc=True replicates --rc.
+    """
+    flags = FRONT if where == "front" else BACK
+    out: List[Assignment] = []
+    for start in range(0, len(records), batch_size):
+        chunk = records[start:start + batch_size]
+        fwd_seqs = [r.seq.upper() for r in chunk]
+        if rc:
+            rc_seqs = [encode.revcomp(s) for s in fwd_seqs]
+            res = locate_batch(bank, fwd_seqs + rc_seqs, flags, min_overlap)
+            n = len(chunk)
+            f_idx, f_m, f_qs, f_qe = _best_per_read(_slice_res(res, 0, n))
+            r_idx, r_m, r_qs, r_qe = _best_per_read(_slice_res(res, n, 2 * n))
+        else:
+            res = locate_batch(bank, fwd_seqs, flags, min_overlap)
+            f_idx, f_m, f_qs, f_qe = _best_per_read(res)
+            r_idx = np.full_like(f_idx, -1)
+            r_m = np.full_like(f_m, -1)
+            r_qs = r_qe = np.zeros_like(f_qs)
+
+        for i, rec in enumerate(chunk):
+            use_rc = (r_idx[i] >= 0) and (f_idx[i] < 0 or r_m[i] > f_m[i])
+            if use_rc:
+                seq = encode.revcomp(rec.seq)
+                qual = rec.qual[::-1] if rec.qual else None
+                desc = rec.desc + " rc"
+                ai, qs, qe = int(r_idx[i]), int(r_qs[i]), int(r_qe[i])
+            else:
+                seq, qual, desc = rec.seq, rec.qual, rec.desc
+                ai, qs, qe = int(f_idx[i]), int(f_qs[i]), int(f_qe[i])
+            if ai < 0:
+                out.append(Assignment(None, False, rec))
+                continue
+            if where == "front":
+                tseq, tqual = seq[qe:], (qual[qe:] if qual else None)
+            else:
+                tseq, tqual = seq[:qs], (qual[:qs] if qual else None)
+            rid = desc.split()[0] if desc else ""
+            out.append(Assignment(bank.names[ai], use_rc,
+                                  Record(rid, desc, tseq, tqual)))
+    return out
+
+
+def _slice_res(res, a, b):
+    return type(res)(*[v[a:b] for v in res])
+
+
+def bin_reads(assignments: Sequence[Assignment]) -> Dict[str, List[Record]]:
+    bins: Dict[str, List[Record]] = defaultdict(list)
+    for a in assignments:
+        bins[a.adapter or UNKNOWN].append(a.trimmed)
+    return bins
+
+
+# ---------------------------------------------------------------------------
+# Dual-round pipeline (02_cutadapt_loop.sh equivalent)
+# ---------------------------------------------------------------------------
+
+INVALID_SP27 = ("SP27_009", "SP27_010", "SP27_011", "SP27_012")
+
+
+def dual_round_demux(records: Sequence[Record], sp5: AdapterBank,
+                     sp27rc: AdapterBank, dataset: str, outdir: str,
+                     write: bool = True, fmt: str = "fastq",
+                     batch_size: int = 256) -> Dict:
+    """Full two-round demux with unknown/invalid-combo removal.
+
+    Returns a report dict (cutadapt-JSON-like counters) and, when ``write``,
+    produces the reference directory layout:
+        <outdir>/SP5/<SP5_xxx>_<dataset>.fastq.gz          (round 1, kept for audit)
+        <outdir>/SP27/<SP27_yyy>_<SP5_xxx>_<dataset>.fastq.gz
+    with *unknown* bins and SP27_009..012 combos removed
+    (02_cutadapt_loop.sh:108-118).
+    """
+    r1 = assign_reads(list(records), sp5, "front", rc=True,
+                      batch_size=batch_size)
+    sp5_bins = bin_reads(r1)
+    report = {
+        "dataset": dataset,
+        "total_reads": len(r1),
+        "round1": {k: len(v) for k, v in sp5_bins.items()},
+        "round2": {},
+    }
+    final_bins: Dict[str, List[Record]] = {}
+    for sp5_name, recs in sorted(sp5_bins.items()):
+        if sp5_name == UNKNOWN:
+            continue
+        r2 = assign_reads(recs, sp27rc, "back", rc=True,
+                          batch_size=batch_size)
+        b2 = bin_reads(r2)
+        report["round2"][sp5_name] = {k: len(v) for k, v in b2.items()}
+        for sp27_name, out_recs in b2.items():
+            if sp27_name == UNKNOWN or sp27_name in INVALID_SP27:
+                continue
+            final_bins[f"{sp27_name}_{sp5_name}"] = out_recs
+    report["final_bins"] = {k: len(v) for k, v in sorted(final_bins.items())}
+
+    if write:
+        ext = ".fastq.gz" if fmt == "fastq" else ".fasta.gz"
+        os.makedirs(os.path.join(outdir, "SP5"), exist_ok=True)
+        os.makedirs(os.path.join(outdir, "SP27"), exist_ok=True)
+        for sp5_name, recs in sp5_bins.items():
+            if sp5_name == UNKNOWN:
+                continue
+            write_records(
+                os.path.join(outdir, "SP5", f"{sp5_name}_{dataset}{ext}"),
+                recs, fmt=fmt)
+        for comb, recs in final_bins.items():
+            write_records(
+                os.path.join(outdir, "SP27", f"{comb}_{dataset}{ext}"),
+                recs, fmt=fmt)
+        import json
+        with open(os.path.join(outdir, f"demux_{dataset}.json"), "w") as fh:
+            json.dump(report, fh, indent=2)
+    return report

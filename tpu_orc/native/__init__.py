@@ -1,0 +1,130 @@
+"""ctypes loader for the native C++ oracle (builds on first import).
+
+Build is cached next to the source keyed on mtime; rebuilds automatically
+when oracle.cpp changes. Falls back with a clear error if no compiler.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "oracle.cpp")
+_SO = os.path.join(_DIR, "_oracle.so")
+
+_lib = None
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", _SO, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        _build()
+    L = ctypes.CDLL(_SO)
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    L.orc_edit_distance.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int,
+                                    ctypes.c_int]
+    L.orc_edit_distance.restype = ctypes.c_int
+    L.orc_all_vs_all.argtypes = [u8p, i64p, i32p, ctypes.c_int,
+                                 ctypes.c_double, i32p]
+    L.orc_all_vs_all.restype = ctypes.c_long
+    L.orc_locate.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int,
+                             ctypes.c_double, ctypes.c_int, ctypes.c_int,
+                             i32p]
+    L.orc_locate.restype = ctypes.c_int
+    L.orc_locate_batch.argtypes = [u8p, i32p, i32p, ctypes.c_int,
+                                   u8p, i64p, i32p, ctypes.c_int,
+                                   ctypes.c_double, ctypes.c_int,
+                                   ctypes.c_int, i32p, u8p]
+    L.orc_locate_batch.restype = None
+    L.orc_nw_path.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int,
+                              ctypes.c_int, u8p, ctypes.c_int]
+    L.orc_nw_path.restype = ctypes.c_int
+    _lib = L
+    return L
+
+
+# ---------------------------------------------------------------------------
+# NumPy-friendly wrappers
+# ---------------------------------------------------------------------------
+
+def edit_distance(a_codes: np.ndarray, b_codes: np.ndarray,
+                  mode: str = "NW") -> int:
+    modes = {"NW": 0, "SHW": 1, "HW": 2}
+    a = np.ascontiguousarray(a_codes, dtype=np.uint8)
+    b = np.ascontiguousarray(b_codes, dtype=np.uint8)
+    return lib().orc_edit_distance(a, len(a), b, len(b), modes[mode])
+
+
+def all_vs_all(codes_list, band: float = 1.05) -> np.ndarray:
+    """Upper-triangle NW distance matrix with the 5% length gate; -1 where
+    gated. Mirrors amplicon_sorter's pair enumeration (:680)."""
+    n = len(codes_list)
+    seqs = np.concatenate([np.ascontiguousarray(c, dtype=np.uint8)
+                           for c in codes_list])
+    lens = np.array([len(c) for c in codes_list], dtype=np.int32)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    out = np.full((n, n), -1, dtype=np.int32)
+    lib().orc_all_vs_all(seqs, offs, lens, n, float(band), out)
+    return out
+
+
+def locate(ref_masks: np.ndarray, qry_masks: np.ndarray, e: float,
+           flags: int, min_overlap: int = 3):
+    out = np.zeros(6, dtype=np.int32)
+    r = np.ascontiguousarray(ref_masks, dtype=np.uint8)
+    q = np.ascontiguousarray(qry_masks, dtype=np.uint8)
+    ok = lib().orc_locate(r, len(r), q, len(q), e, int(flags), min_overlap,
+                          out)
+    return tuple(int(x) for x in out) if ok else None
+
+
+def locate_batch(ref_masks_list, qry_masks_list, e: float, flags: int,
+                 min_overlap: int = 3):
+    A, B = len(ref_masks_list), len(qry_masks_list)
+    refs = np.concatenate([np.ascontiguousarray(r, np.uint8)
+                           for r in ref_masks_list])
+    rlens = np.array([len(r) for r in ref_masks_list], np.int32)
+    roffs = np.zeros(A, np.int32)
+    np.cumsum(rlens[:-1], out=roffs[1:])
+    qrys = np.concatenate([np.ascontiguousarray(q, np.uint8)
+                           for q in qry_masks_list]) if B else np.zeros(0, np.uint8)
+    qlens = np.array([len(q) for q in qry_masks_list], np.int32)
+    qoffs = np.zeros(B, np.int64)
+    if B > 1:
+        np.cumsum(qlens[:-1].astype(np.int64), out=qoffs[1:])
+    out = np.zeros((B, A, 6), np.int32)
+    valid = np.zeros((B, A), np.uint8)
+    lib().orc_locate_batch(refs, roffs, rlens, A, qrys, qoffs, qlens, B,
+                           e, int(flags), min_overlap,
+                           out.reshape(-1), valid.reshape(-1))
+    return out, valid.astype(bool)
+
+
+def nw_path(a_codes: np.ndarray, b_codes: np.ndarray,
+            band: int | None = None) -> np.ndarray:
+    """Edit script aligning a to b: array of ops 0=diag 1=delete-in-b
+    2=insert-in-b. Band auto-set from the exact distance when omitted."""
+    a = np.ascontiguousarray(a_codes, dtype=np.uint8)
+    b = np.ascontiguousarray(b_codes, dtype=np.uint8)
+    if band is None:
+        band = max(1, edit_distance(a, b, "NW"))
+    cap = len(a) + len(b) + 1
+    ops = np.zeros(cap, dtype=np.uint8)
+    n = lib().orc_nw_path(a, len(a), b, len(b), int(band), ops, cap)
+    if n < 0:
+        raise RuntimeError("nw_path band overflow")
+    return ops[:n]

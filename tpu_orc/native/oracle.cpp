@@ -1,0 +1,232 @@
+// tpu_orc native oracle: CPU reference implementations with edlib/cutadapt
+// semantics (see tpu_orc/align/spec.py for the single semantic spec).
+//
+// Roles:
+//   * fast CPU parity oracle for the JAX/Pallas device kernels
+//   * the CPU baseline used by bench.py (reference stack proxy: the
+//     reference outsources these exact computations to edlib C/C++ and
+//     cutadapt's C aligner, SURVEY.md §2.3)
+//   * NW traceback for the consensus star-alignment host path
+//
+// Build: tpu_orc/native/build.py (g++ -O3 -shared), loaded via ctypes.
+// No external dependencies.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Myers bit-parallel edit distance over uint8 code sequences (0..4; 4 = N).
+// mode: 0 = NW (global), 1 = SHW (free target suffix), 2 = HW (free both).
+// Byte-literal comparison: N==N matches (edlib semantics on ASCII bytes).
+// ---------------------------------------------------------------------------
+int orc_edit_distance(const uint8_t* p, int m, const uint8_t* t, int n,
+                      int mode) {
+    if (m == 0) return (mode == 0) ? n : 0;
+    int W = (m + 63) / 64;
+    std::vector<uint64_t> Peq((size_t)W * 5, 0);
+    for (int i = 0; i < m; i++)
+        Peq[(size_t)(i / 64) * 5 + p[i]] |= 1ull << (i % 64);
+    std::vector<uint64_t> VP(W, ~0ull), VN(W, 0);
+    int score = m, best = m;
+    const int wm = (m - 1) / 64, rm = (m - 1) % 64;
+    const int hin0 = (mode == 2) ? 0 : 1;
+    for (int j = 0; j < n; j++) {
+        int hin = hin0;
+        const uint8_t c = t[j];
+        for (int w = 0; w < W; w++) {
+            uint64_t Eq = Peq[(size_t)w * 5 + c];
+            const uint64_t hinNeg = hin < 0 ? 1ull : 0ull;
+            const uint64_t hinPos = hin > 0 ? 1ull : 0ull;
+            const uint64_t Pv = VP[w], Mv = VN[w];
+            const uint64_t Xv = Eq | Mv;
+            const uint64_t Eq_ = Eq | hinNeg;
+            const uint64_t Xh = (((Eq_ & Pv) + Pv) ^ Pv) | Eq_;
+            uint64_t Ph = Mv | ~(Xh | Pv);
+            uint64_t Mh = Pv & Xh;
+            if (w == wm)
+                score += (int)((Ph >> rm) & 1) - (int)((Mh >> rm) & 1);
+            const int hout =
+                (int)((Ph >> 63) & 1) - (int)((Mh >> 63) & 1);
+            Ph = (Ph << 1) | hinPos;
+            Mh = (Mh << 1) | hinNeg;
+            VP[w] = Mh | ~(Xv | Ph);
+            VN[w] = Ph & Xv;
+            hin = hout;
+        }
+        if (mode != 0 && score < best) best = score;
+    }
+    return mode == 0 ? score : best;
+}
+
+// All-vs-all upper-triangle distances with the reference's 5% length-band
+// gate (amplicon_sorter.py:680: skip pair if len_short*1.05 < len_long).
+// seqs: concatenated codes; offs/lens per read; out[n*n] row-major int32,
+// -1 where gated/not computed. Returns number of pairs computed.
+long orc_all_vs_all(const uint8_t* seqs, const long* offs, const int* lens,
+                    int nreads, double band, int* out) {
+    long pairs = 0;
+    for (int i = 0; i < nreads; i++)
+        for (int j = i + 1; j < nreads; j++) {
+            int li = lens[i], lj = lens[j];
+            int lo = std::min(li, lj), hi = std::max(li, lj);
+            if (band > 0 && (double)lo * band < (double)hi) {
+                out[(long)i * nreads + j] = -1;
+                continue;
+            }
+            out[(long)i * nreads + j] = orc_edit_distance(
+                seqs + offs[i], li, seqs + offs[j], lj, 0);
+            pairs++;
+        }
+    return pairs;
+}
+
+// ---------------------------------------------------------------------------
+// cutadapt-equivalent locate (see spec.py). Inputs are match-mask arrays
+// (ref via IUPAC expansion, query literal); match iff (ref & qry) != 0.
+// flags: 1=START_WITHIN_SEQ1, 2=START_WITHIN_SEQ2, 4=STOP_WITHIN_SEQ1,
+// 8=STOP_WITHIN_SEQ2. out6 = {refstart, refstop, querystart, querystop,
+// matches, errors}. Returns 1 if an acceptable match exists.
+// ---------------------------------------------------------------------------
+int orc_locate(const uint8_t* ref, int m, const uint8_t* qry, int n,
+               double max_error_rate, int flags, int min_overlap,
+               int* out6) {
+    const bool sir = flags & 1, siq = flags & 2, str_ = flags & 4,
+               stq = flags & 8;
+    std::vector<int> cost(m + 1), match(m + 1, 0), orig(m + 1, 0);
+    std::vector<int> npre(m + 1, 0);
+    for (int i = 0; i < m; i++)
+        npre[i + 1] = npre[i] + (((ref[i] & 15) == 15) ? 1 : 0);
+    for (int i = 0; i <= m; i++) {
+        if (sir) { cost[i] = 0; orig[i] = -i; }
+        else { cost[i] = i; orig[i] = 0; }
+    }
+    long bestKeyM = -1; int bestC = 1 << 30;
+    int bi = -1, bj = -1, bm = 0, bc = 0, bo = 0;
+    auto consider = [&](int i, int j, int c, int mt, int og) {
+        int refstart = og < 0 ? -og : 0;
+        int length = i - refstart;
+        if (length < min_overlap) return;
+        int eff = length - (npre[i] - npre[refstart]);
+        if ((double)c > max_error_rate * (double)eff) return;
+        if (mt > bestKeyM || (mt == bestKeyM && c < bestC)) {
+            bestKeyM = mt; bestC = c;
+            bi = i; bj = j; bm = mt; bc = c; bo = og;
+        }
+    };
+    consider(m, 0, cost[m], match[m], orig[m]);
+    for (int j = 1; j <= n; j++) {
+        const uint8_t qc = qry[j - 1];
+        int dc = cost[0], dm = match[0], dg = orig[0];
+        if (siq) { cost[0] = 0; match[0] = 0; orig[0] = j; }
+        else { cost[0] = j; match[0] = 0; orig[0] = 0; }
+        for (int i = 1; i <= m; i++) {
+            const int pc = cost[i], pm = match[i], pg = orig[i];
+            int nc, nm, ng;
+            if (ref[i - 1] & qc) {
+                nc = dc; nm = dm + 1; ng = dg;
+            } else {
+                const int cd = dc + 1, ch = pc + 1, cv = cost[i - 1] + 1;
+                if (cd <= ch && cd <= cv) { nc = cd; nm = dm; ng = dg; }
+                else if (ch <= cv) { nc = ch; nm = pm; ng = pg; }
+                else { nc = cv; nm = match[i - 1]; ng = orig[i - 1]; }
+            }
+            cost[i] = nc; match[i] = nm; orig[i] = ng;
+            dc = pc; dm = pm; dg = pg;
+        }
+        if (stq || j == n) consider(m, j, cost[m], match[m], orig[m]);
+    }
+    if (str_)
+        for (int i = 0; i <= m; i++)
+            consider(i, n, cost[i], match[i], orig[i]);
+    if (bi < 0) return 0;
+    out6[0] = bo < 0 ? -bo : 0;
+    out6[1] = bi;
+    out6[2] = bo > 0 ? bo : 0;
+    out6[3] = bj;
+    out6[4] = bm;
+    out6[5] = bc;
+    return 1;
+}
+
+// Batch locate: B reads x A adapters; out fields [B*A*6], valid [B*A].
+void orc_locate_batch(const uint8_t* refs, const int* ref_offs,
+                      const int* ref_lens, int A,
+                      const uint8_t* qrys, const long* qry_offs,
+                      const int* qry_lens, int B,
+                      double e, int flags, int min_overlap,
+                      int* out, uint8_t* valid) {
+    for (int b = 0; b < B; b++)
+        for (int a = 0; a < A; a++) {
+            int* o = out + ((long)b * A + a) * 6;
+            valid[(long)b * A + a] = (uint8_t)orc_locate(
+                refs + ref_offs[a], ref_lens[a], qrys + qry_offs[b],
+                qry_lens[b], e, flags, min_overlap, o);
+        }
+}
+
+// ---------------------------------------------------------------------------
+// Global (NW) alignment with traceback, for consensus star alignment.
+// Banded: callers pass band >= final distance (e.g. from orc_edit_distance).
+// ops out: 0 = diag (match/mismatch), 1 = consume A only (deletion in B),
+// 2 = consume B only (insertion in B). Written start-to-end. Returns op
+// count, or -1 if the band overflowed or cap too small.
+// ---------------------------------------------------------------------------
+int orc_nw_path(const uint8_t* a, int la, const uint8_t* b, int lb,
+                int band, uint8_t* ops, int cap) {
+    band = std::max(band, std::abs(la - lb) + 1);
+    const int w = 2 * band + 1;
+    const int INF = 1 << 28;
+    std::vector<int> dp((size_t)(la + 1) * w, INF);
+    std::vector<uint8_t> bt((size_t)(la + 1) * w, 255);
+    auto idx = [&](int i, int j) { return (size_t)i * w + (j - i + band); };
+    auto inb = [&](int i, int j) {
+        return j >= 0 && j <= lb && (j - i + band) >= 0 && (j - i + band) < w;
+    };
+    dp[idx(0, 0)] = 0;
+    for (int j = 1; j <= lb && inb(0, j); j++) {
+        dp[idx(0, j)] = j; bt[idx(0, j)] = 2;
+    }
+    for (int i = 1; i <= la; i++) {
+        const int jlo = std::max(0, i - band), jhi = std::min(lb, i + band);
+        for (int j = jlo; j <= jhi; j++) {
+            int best = INF; uint8_t op = 255;
+            if (j > 0 && inb(i - 1, j - 1) && dp[idx(i - 1, j - 1)] < INF) {
+                const int c = dp[idx(i - 1, j - 1)] +
+                              ((a[i - 1] == b[j - 1]) ? 0 : 1);
+                if (c < best) { best = c; op = 0; }
+            }
+            if (inb(i - 1, j) && dp[idx(i - 1, j)] < INF) {
+                const int c = dp[idx(i - 1, j)] + 1;
+                if (c < best) { best = c; op = 1; }
+            }
+            if (j > 0 && inb(i, j - 1) && dp[idx(i, j - 1)] < INF) {
+                const int c = dp[idx(i, j - 1)] + 1;
+                if (c < best) { best = c; op = 2; }
+            }
+            dp[idx(i, j)] = best; bt[idx(i, j)] = op;
+        }
+    }
+    if (!inb(la, lb) || dp[idx(la, lb)] >= INF) return -1;
+    // backtrack
+    int i = la, j = lb, nops = 0;
+    std::vector<uint8_t> rev;
+    rev.reserve(la + lb);
+    while (i > 0 || j > 0) {
+        const uint8_t op = bt[idx(i, j)];
+        if (op == 255) return -1;
+        rev.push_back(op);
+        if (op == 0) { i--; j--; }
+        else if (op == 1) i--;
+        else j--;
+        nops++;
+    }
+    if (nops > cap) return -1;
+    for (int k = 0; k < nops; k++) ops[k] = rev[nops - 1 - k];
+    return nops;
+}
+
+}  // extern "C"

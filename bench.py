@@ -1,0 +1,126 @@
+"""Benchmark: dual-index demux throughput (reads/s/chip) vs CPU baseline.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The headline metric matches BASELINE.json: reads/s/chip for dual-index
+demux with cutadapt-equivalent semantics (--rc, both rounds scored).
+vs_baseline is measured against the in-repo C++ oracle running the exact
+same locate semantics on this host's CPUs — the reference pipeline's own
+compute engine for this stage is cutadapt's C aligner doing the same DP
+(the reference publishes no numbers, BASELINE.md).
+
+Secondary details: all-vs-all Myers clustering throughput (cells/s and
+pairwise alignments/s) on device vs the C++ 64-bit Myers.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    from tpu_orc.demux.adapters import AdapterBank
+    from tpu_orc.demux.demux import locate_batch, _best_per_read
+    from tpu_orc.align.spec import FRONT, BACK
+    from tpu_orc.align import myers
+    from tpu_orc.io import encode
+    from tpu_orc import native
+
+    REF = "/root/reference/adapters_primers"
+    sp5 = AdapterBank.from_fasta(f"{REF}/M13_amplicon_indices_forward.fa",
+                                 0.1)
+    sp27 = AdapterBank.from_fasta(
+        f"{REF}/M13_amplicon_indices_reverse_rc.fa", 0.1)
+
+    rng = np.random.default_rng(0)
+    B = 2048
+    reads = []
+    for i in range(B):
+        ins = "".join(rng.choice(list("ACGT"), size=260))
+        s = sp5.seqs[i % 12] + ins + sp27.seqs[i % 8]
+        if i % 2:
+            s = encode.revcomp(s)
+        reads.append(s)
+    rc_reads = [encode.revcomp(s) for s in reads]
+    both = reads + rc_reads
+
+    # --- device: dual-round scoring (round1 FRONT + round2 BACK, fwd+rc)
+    def device_round():
+        r1 = locate_batch(sp5, both, FRONT)
+        idx, m, qs, qe = _best_per_read(
+            type(r1)(*[np.asarray(v)[:B] for v in r1]))
+        trimmed = [s[int(e):] for s, e in zip(reads, qe)]
+        r2 = locate_batch(sp27, trimmed + [encode.revcomp(t)
+                                           for t in trimmed], BACK)
+        return np.asarray(r2.valid).sum()
+
+    device_round()  # warmup/compile
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        device_round()
+    t_dev = (time.time() - t0) / reps
+    tpu_rps = B / t_dev
+
+    # --- CPU baseline: identical semantics via the C++ oracle
+    ref_masks5 = [encode.encode_ref_masks(s) for s in sp5.seqs]
+    ref_masks27 = [encode.encode_ref_masks(s) for s in sp27.seqs]
+    n_cpu = 256
+    qm = [encode.encode_read_masks(s) for s in both[:n_cpu]]
+    t0 = time.time()
+    native.locate_batch(ref_masks5, qm, 0.1, int(FRONT))
+    native.locate_batch(ref_masks27, qm, 0.1, int(BACK))
+    t_cpu = time.time() - t0
+    cpu_rps = (n_cpu / 2) / t_cpu  # fwd+rc of n_cpu/2 reads, both rounds
+
+    # --- clustering: device Myers all-vs-all tile vs C++ Myers
+    N, L = 256, 512
+    fam = []
+    base = "".join(rng.choice(list("ACGT"), size=480))
+    for _ in range(N):
+        s = list(base)
+        for _ in range(30):
+            s[int(rng.integers(0, len(s)))] = str(rng.choice(list("ACGT")))
+        fam.append(encode.encode_codes("".join(s)))
+    pat = np.full((N, L), 4, np.uint8)
+    lens = np.zeros(N, np.int32)
+    for i, c in enumerate(fam):
+        pat[i, :len(c)] = c
+        lens[i] = len(c)
+    myers.distances(pat, lens, pat, lens)  # compile
+    t0 = time.time()
+    for _ in range(reps):
+        myers.distances(pat, lens, pat, lens)
+    t_tile = (time.time() - t0) / reps
+    cells = float(N) * N * np.mean(lens) * np.mean(lens)
+    tpu_cells = cells / t_tile
+    tpu_pairs = N * N / t_tile
+
+    n_cpu_pairs = 0
+    t0 = time.time()
+    D = native.all_vs_all(fam[:64], band=0.0)
+    t_cpu_aa = time.time() - t0
+    n_cpu_pairs = (D >= 0).sum()
+    cpu_cells = float(n_cpu_pairs) * np.mean(lens) ** 2 / t_cpu_aa
+
+    out = {
+        "metric": "demux_reads_per_s_per_chip",
+        "value": round(tpu_rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(tpu_rps / cpu_rps, 2),
+        "details": {
+            "backend": jax.default_backend(),
+            "cpu_demux_reads_per_s": round(cpu_rps, 1),
+            "cluster_device_cells_per_s": round(tpu_cells, 0),
+            "cluster_device_pairs_per_s": round(tpu_pairs, 1),
+            "cluster_cpu_cells_per_s": round(cpu_cells, 0),
+            "cluster_vs_cpu": round(tpu_cells / cpu_cells, 2),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,11 +6,18 @@ only in bench.py / the driver's dryrun.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin overrides jax_platforms at import time (plugin
+# config stomp), silently moving "CPU" tests onto the tunneled TPU chip.
+# Re-assert CPU after import — a post-import config.update wins.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,137 @@
+"""Clustering engine tests: consensus quality + species separation on
+synthetic nanopore-noise data (the 'equivalent consensus' contract,
+SURVEY.md §7.4.3)."""
+import numpy as np
+import pytest
+
+from tpu_orc.cluster.consensus import build_consensus, consensus_direction
+from tpu_orc.cluster.engine import (AmpliconSorter, SorterConfig,
+                                    estimate_ssg)
+from tpu_orc.cluster.unionfind import UnionFind
+from tpu_orc.io import encode
+from tpu_orc.io.fastq import Record
+from tpu_orc import native
+
+
+def noisy(rng, s, err=0.08):
+    out = []
+    for ch in s:
+        r = rng.random()
+        if r < err * 0.4:
+            continue
+        if r < err * 0.7:
+            out.append(str(rng.choice(list("ACGT"))))
+            out.append(ch)
+        elif r < err:
+            out.append(str(rng.choice(list("ACGT"))))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def sim(a, b):
+    d = native.edit_distance(encode.encode_codes(a), encode.encode_codes(b))
+    return 1 - d / max(len(a), len(b))
+
+
+def test_unionfind_components():
+    uf = UnionFind(6)
+    uf.union(0, 1)
+    uf.union(1, 2)
+    uf.union(4, 5)
+    comps = uf.components()
+    assert [0, 1, 2] in comps and [4, 5] in comps and [3] in comps
+
+
+def test_estimate_ssg_mass():
+    sims = np.array([0.99] * 10 + [0.90] * 200 + [0.81] * 50)
+    v = estimate_ssg(sims)
+    assert 0.80 <= v <= 0.99
+
+
+def test_consensus_recovers_template(rng):
+    template = "".join(rng.choice(list("ACGT"), size=500))
+    reads = [noisy(rng, template, 0.08) for _ in range(40)]
+    codes = [encode.encode_codes(r) for r in reads]
+    cons = encode.decode(build_consensus(codes))
+    assert sim(cons, template) >= 0.98, sim(cons, template)
+
+
+def test_consensus_direction_orients(rng):
+    template = "".join(rng.choice(list("ACGT"), size=300))
+    reads = [noisy(rng, template, 0.05) for _ in range(6)]
+    flipped = [encode.encode_codes(encode.revcomp(r)) if i % 2 else
+               encode.encode_codes(r) for i, r in enumerate(reads)]
+    oriented = consensus_direction(flipped)
+    c = encode.decode(build_consensus(oriented))
+    assert sim(c, template) >= 0.97
+
+
+@pytest.mark.slow
+def test_two_species_sorting():
+    """Two species in one barcode bin: the sorter must produce two species
+    groups whose consensuses match the true templates."""
+    rng = np.random.default_rng(123)  # hermetic: independent of test order
+    spA = "".join(rng.choice(list("ACGT"), size=620))
+    # species B: ~85% similar to A (same gene, different species)
+    spB = list(spA)
+    n_mut = int(len(spB) * 0.12)
+    for pos in rng.choice(len(spB), n_mut, replace=False):
+        spB[pos] = str(rng.choice(list("ACGT")))
+    spB = "".join(spB)
+    reads = []
+    for i in range(45):
+        reads.append(Record(f"a{i}", f"a{i}", noisy(rng, spA, 0.07)))
+    for i in range(35):
+        reads.append(Record(f"b{i}", f"b{i}", noisy(rng, spB, 0.07)))
+    srt = AmpliconSorter(SorterConfig(min_length=300, seed=1))
+    res = srt.sort_records(reads)
+    assert not res.skipped
+    assert len(res.gene_groups) == 1, res.gene_groups
+    species = res.species[0]
+    assert len(species) == 2, [len(s.members) for s in species]
+    cons = [s.consensus for s in species]
+    simsA = [sim(c, spA) for c in cons]
+    simsB = [sim(c, spB) for c in cons]
+    best_to_A = int(np.argmax(simsA))
+    best_to_B = int(np.argmax(simsB))
+    assert best_to_A != best_to_B
+    assert simsA[best_to_A] >= 0.97, simsA
+    assert simsB[best_to_B] >= 0.97, simsB
+    # membership purity: group matching A should be mostly a-reads
+    a_grp = species[best_to_A].members
+    purity = np.mean([srt.ids[i].startswith("a") for i in a_grp])
+    assert purity >= 0.9
+
+
+@pytest.mark.slow
+def test_two_genes_sorting():
+    """Two unrelated genes (e.g. COI + rRNA fragment) must split into two
+    gene groups at the 0.80 stage."""
+    rng = np.random.default_rng(321)  # hermetic
+    g1 = "".join(rng.choice(list("ACGT"), size=500))
+    g2 = "".join(rng.choice(list("ACGT"), size=520))
+    reads = [Record(f"x{i}", f"x{i}", noisy(rng, g1, 0.06))
+             for i in range(20)]
+    reads += [Record(f"y{i}", f"y{i}", noisy(rng, g2, 0.06))
+              for i in range(20)]
+    srt = AmpliconSorter(SorterConfig(min_length=300, seed=2))
+    res = srt.sort_records(reads)
+    assert len(res.gene_groups) == 2, [len(g) for g in res.gene_groups]
+
+
+def test_skip_few_reads():
+    recs = [Record(f"r{i}", f"r{i}", "ACGT" * 100) for i in range(3)]
+    res = AmpliconSorter(SorterConfig()).sort_records(recs)
+    assert res.skipped
+
+
+def test_deterministic(rng):
+    template = "".join(rng.choice(list("ACGT"), size=400))
+    reads = [Record(f"r{i}", f"r{i}", noisy(rng, template, 0.06))
+             for i in range(30)]
+    r1 = AmpliconSorter(SorterConfig(seed=7)).sort_records(reads)
+    r2 = AmpliconSorter(SorterConfig(seed=7)).sort_records(reads)
+    assert [s.consensus for g in r1.species for s in g] == \
+           [s.consensus for g in r2.species for s in g]
+    assert r1.gene_groups == r2.gene_groups

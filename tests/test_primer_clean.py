@@ -1,0 +1,107 @@
+"""Primer cleanup (stage 04 equivalent) tests using the real COI/RNA
+primer FASTAs."""
+import pytest
+
+from tpu_orc.demux.primer_clean import (clean_primers, linked_trim,
+                                        parse_primer_pairs,
+                                        residual_primer_failsafe)
+from tpu_orc.io import encode
+from tpu_orc.io.fastq import Record
+
+REF = "/root/reference/adapters_primers"
+
+
+def concretize(rng, s):
+    """IUPAC degenerate primer -> one concrete realization."""
+    table = {"R": "AG", "Y": "CT", "S": "GC", "W": "AT", "K": "GT",
+             "M": "AC", "B": "CGT", "D": "AGT", "H": "ACT", "V": "ACG",
+             "N": "ACGT"}
+    return "".join(str(rng.choice(list(table.get(c, c)))) for c in s)
+
+
+def test_parse_coi_pairs():
+    pairs = parse_primer_pairs(f"{REF}/COI_primers.fa")
+    ids = [p.pair_id for p in pairs]
+    assert ids == ["A", "B"]
+    # the shared reverse primer (Moorea_and_Sauron_Reverse_A_B) must be
+    # assigned to both pairs
+    assert pairs[0].rev == pairs[1].rev
+
+
+def test_parse_rna_pairs():
+    pairs = parse_primer_pairs(f"{REF}/RNA_primers.fa")
+    assert len(pairs) >= 2
+
+
+def test_linked_trim_recovers_insert(rng):
+    pairs = parse_primer_pairs(f"{REF}/COI_primers.fa")
+    insert = "".join(rng.choice(list("ACGT"), size=600))
+    pa = pairs[0]
+    seq = concretize(rng, pa.fwd) + insert + concretize(rng, pa.rev)
+    recs = [Record("c1", "c1", seq)]
+    trimmed, untrimmed = linked_trim(recs, pairs)
+    assert len(trimmed) == 1 and not untrimmed
+    assert trimmed[0].seq == insert
+
+
+def test_linked_requires_both(rng):
+    pairs = parse_primer_pairs(f"{REF}/COI_primers.fa")
+    insert = "".join(rng.choice(list("ACGT"), size=400))
+    seq = concretize(rng, pairs[0].fwd) + insert  # no reverse primer
+    trimmed, untrimmed = linked_trim([Record("u", "u", seq)], pairs)
+    assert not trimmed and len(untrimmed) == 1
+
+
+def test_failsafe_drops_residual(rng):
+    pairs = parse_primer_pairs(f"{REF}/COI_primers.fa")
+    good = Record("g", "g", "".join(rng.choice(list("ACGT"), size=500)))
+    bad_seq = ("".join(rng.choice(list("ACGT"), size=30))
+               + concretize(rng, pairs[0].fwd)
+               + "".join(rng.choice(list("ACGT"), size=400)))
+    bad = Record("b", "b", bad_seq)
+    clean, dropped = residual_primer_failsafe(
+        [good, bad], [pairs[0].fwd, pairs[0].rev])
+    assert [r.id for r in clean] == ["g"]
+    assert dropped == ["b"]
+
+
+def test_failsafe_checks_revcomp(rng):
+    pairs = parse_primer_pairs(f"{REF}/COI_primers.fa")
+    seq = ("".join(rng.choice(list("ACGT"), size=300))
+           + encode.revcomp(concretize(rng, pairs[0].rev))
+           + "".join(rng.choice(list("ACGT"), size=40)))
+    clean, dropped = residual_primer_failsafe(
+        [Record("rc", "rc", seq)], [pairs[0].rev])
+    assert dropped == ["rc"]
+
+
+def test_failsafe_middle_not_checked(rng):
+    """A primer buried mid-contig (outside the 100 bp ends) is allowed —
+    matches the reference's ends-only scan."""
+    pairs = parse_primer_pairs(f"{REF}/COI_primers.fa")
+    seq = ("".join(rng.choice(list("ACGT"), size=200))
+           + concretize(rng, pairs[0].fwd)
+           + "".join(rng.choice(list("ACGT"), size=200)))
+    clean, dropped = residual_primer_failsafe(
+        [Record("m", "m", seq)], [pairs[0].fwd])
+    assert not dropped
+
+
+def test_clean_primers_end_to_end(tmp_path, rng):
+    pairs = parse_primer_pairs(f"{REF}/COI_primers.fa")
+    recs = []
+    inserts = []
+    for i in range(5):
+        ins = "".join(rng.choice(list("ACGT"), size=550))
+        inserts.append(ins)
+        recs.append(Record(f"k{i}", f"k{i}",
+                           concretize(rng, pairs[i % 2].fwd) + ins
+                           + concretize(rng, pairs[i % 2].rev)))
+    recs.append(Record("junk", "junk",
+                       "".join(rng.choice(list("ACGT"), size=500))))
+    clean, rep = clean_primers(recs, f"{REF}/COI_primers.fa",
+                               outdir=str(tmp_path), name="t")
+    assert rep.total == 6
+    assert rep.trimmed == 5 and rep.untrimmed == 1
+    assert {r.seq for r in clean} == set(inserts)
+    assert (tmp_path / "cleaned_t.fasta").exists()

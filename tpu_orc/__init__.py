@@ -20,3 +20,15 @@ Layering (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the Myers/locate scan kernels are
+# compile-heavy (unrolled word loops); caching makes reruns and tests fast.
+# Must be set before the JAX backend initializes; harmless if jax was
+# imported first (best effort).
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..",
+                  ".jax_cache"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")

@@ -93,7 +93,7 @@ def myers_tile(peq: jnp.ndarray, m_lens: jnp.ndarray,
     col_ids = jnp.arange(1, N + 1, dtype=jnp.int32)  # 1-based column numbers
 
     def step(carry, inp):
-        VP, VN, score, best = carry
+        VP, VN, score, best, bpos = carry
         c, j = inp                              # c [T], j scalar
         valid = (j <= n_lens)[None, :]          # [1, T]
         hin = jnp.full((P, T), hin0, jnp.int32)
@@ -123,25 +123,40 @@ def myers_tile(peq: jnp.ndarray, m_lens: jnp.ndarray,
             hin = hout
         VPn = jnp.stack(vp_out)
         VNn = jnp.stack(vn_out)
-        best = jnp.where(valid, jnp.minimum(best, score), best)
-        return (VPn, VNn, score, best), None
+        improved = valid & (score < best)
+        best = jnp.where(improved, score, best)
+        bpos = jnp.where(improved, j, bpos)
+        return (VPn, VNn, score, best, bpos), None
 
-    (VP, VN, score, best), _ = jax.lax.scan(
-        step, (VP0, VN0, score0, best0), (cols, col_ids))
-    return score if mode == "NW" else best
+    bpos0 = jnp.zeros((P, T), jnp.int32)
+    (VP, VN, score, best, bpos), _ = jax.lax.scan(
+        step, (VP0, VN0, score0, best0, bpos0), (cols, col_ids))
+    if mode == "NW":
+        return score, jnp.broadcast_to(n_lens[None, :], (P, T))
+    return best, bpos
 
 
 def distances(patterns_codes: np.ndarray, m_lens: np.ndarray,
               texts_codes: np.ndarray, n_lens: np.ndarray,
               mode: str = "NW") -> np.ndarray:
     """Convenience host wrapper: codes in, [P, T] distances out."""
+    return distances_with_pos(patterns_codes, m_lens, texts_codes, n_lens,
+                              mode)[0]
+
+
+def distances_with_pos(patterns_codes: np.ndarray, m_lens: np.ndarray,
+                       texts_codes: np.ndarray, n_lens: np.ndarray,
+                       mode: str = "NW"):
+    """Codes in, ([P, T] distances, [P, T] best text end positions) out.
+    For NW the position is just the text length; for SHW/HW it is the
+    1-based column achieving the minimum (earliest on ties)."""
     W = n_words(int(patterns_codes.shape[1]))
     peq = build_peq(jnp.asarray(patterns_codes), W,
                     jnp.asarray(m_lens, dtype=jnp.int32))
-    out = myers_tile(peq, jnp.asarray(m_lens, dtype=jnp.int32),
-                     jnp.asarray(texts_codes),
-                     jnp.asarray(n_lens, dtype=jnp.int32), mode, W)
-    return np.asarray(out)
+    d, p = myers_tile(peq, jnp.asarray(m_lens, dtype=jnp.int32),
+                      jnp.asarray(texts_codes),
+                      jnp.asarray(n_lens, dtype=jnp.int32), mode, W)
+    return np.asarray(d), np.asarray(p)
 
 
 def similarity_matrix(dist: np.ndarray, m_lens: np.ndarray,

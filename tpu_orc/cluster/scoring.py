@@ -1,0 +1,254 @@
+"""Device scoring services for clustering (the O(N^2) hot path).
+
+Replaces the reference's multiprocessing+edlib pairwise engine
+(amplicon_sorter.py:648-808 ``process_list``/``similarity``) with tiled
+Myers kernels: pair enumeration becomes a 2-D grid of [tile x tile]
+device calls; the pickle .todo machinery disappears (SURVEY.md §2.4).
+
+Similarity semantics are the reference's ``distance()`` (:225-235):
+sim = round(1 - d/len(longer), 3); reverse-complement retry only when the
+forward similarity is < 0.5 (:791-799, :1698-1708).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..align import myers
+from ..io import encode
+
+
+def _bucket(n: int, caps=(128, 256, 512, 1024, 2048, 4096, 8192, 16384)) -> int:
+    for c in caps:
+        if n <= c:
+            return c
+    return myers.WORD * (-(-n // myers.WORD))
+
+
+def pack_codes(codes_list: Sequence[np.ndarray], cap: int | None = None,
+               count_cap: int | None = None):
+    """Pack code arrays to [N, L] with pad=4; lens padded entries get 1."""
+    n = len(codes_list)
+    L = _bucket(max((len(c) for c in codes_list), default=1))
+    if cap is not None:
+        L = cap
+    N = count_cap if count_cap is not None else n
+    out = np.full((N, L), 4, dtype=np.uint8)
+    lens = np.ones(N, dtype=np.int32)
+    for i, c in enumerate(codes_list):
+        m = min(len(c), L)
+        out[i, :m] = c[:m]
+        lens[i] = max(m, 1)
+    return out, lens
+
+
+@dataclass
+class PairHits:
+    """Edges above threshold: (i, j, sim, reverse) arrays."""
+    i: np.ndarray
+    j: np.ndarray
+    sim: np.ndarray
+    reverse: np.ndarray
+
+
+class DeviceScorer:
+    """Tiled Myers scoring; one instance caches packing decisions.
+
+    backend='auto' uses the TPU tiles when an accelerator is present and
+    the C++ native oracle when JAX is on CPU (the CPU backend moves the
+    same [W, P, T] tensors through memory ~20x per column and is
+    bandwidth-bound; the 64-bit native path is faster there and
+    bit-identical — parity enforced by tests/test_myers.py).
+    """
+
+    def __init__(self, tile: int = 256, backend: str = "auto"):
+        self.tile = tile
+        self.pairs_scored = 0  # telemetry for bench
+        if backend == "auto":
+            import jax
+            backend = "device" if jax.default_backend() not in ("cpu",) \
+                else "native"
+        self.backend = backend
+
+    # -- all-vs-all within a block (gene stage) ---------------------------
+    def allvsall_effective_sims(self, codes_list: Sequence[np.ndarray],
+                                band: float = 1.05,
+                                keep_threshold: float = 0.80) -> PairHits:
+        """Upper-triangle effective similarities >= keep_threshold.
+
+        Applies the reference 5% length gate (pairs whose length ratio
+        exceeds ``band`` are skipped) and the rc-retry-below-0.5 rule.
+        """
+        n = len(codes_list)
+        if n < 2:
+            z = np.zeros(0)
+            return PairHits(z.astype(int), z.astype(int), z, z.astype(bool))
+        if self.backend == "native":
+            return self._allvsall_native(codes_list, band, keep_threshold)
+        packed, lens = pack_codes(codes_list)
+        rc_codes = [encode.revcomp_codes(np.asarray(c)) for c in codes_list]
+        packed_rc, _ = pack_codes(rc_codes, cap=packed.shape[1])
+        T = self.tile
+        ii: List[np.ndarray] = []
+        jj: List[np.ndarray] = []
+        ss: List[np.ndarray] = []
+        rr: List[np.ndarray] = []
+        for a0 in range(0, n, T):
+            a1 = min(a0 + T, n)
+            pat, plens = pack_codes(codes_list[a0:a1], cap=packed.shape[1],
+                                    count_cap=T)
+            for b0 in range(a0, n, T):
+                b1 = min(b0 + T, n)
+                # band gate: if no pair in the tile survives, skip it
+                lo = np.minimum.outer(plens[:a1 - a0], lens[b0:b1])
+                hi = np.maximum.outer(plens[:a1 - a0], lens[b0:b1])
+                tri = (np.add.outer(np.arange(a0, a1), np.zeros(b1 - b0,
+                       dtype=int)) < np.arange(b0, b1)[None, :])
+                gate = tri & (lo * band >= hi)
+                if not gate.any():
+                    continue
+                txt = np.concatenate([packed[b0:b1], packed_rc[b0:b1]])
+                tl = np.concatenate([lens[b0:b1], lens[b0:b1]])
+                txt_p, tl_p = _pad_rows(txt, tl, 2 * T)
+                D = myers.distances(pat, plens, txt_p, tl_p, "NW")
+                self.pairs_scored += int(gate.sum()) * 2
+                nb = b1 - b0
+                Df, Dr = D[:, :nb], D[:, nb:2 * nb]  # rc block starts at nb
+                longer = np.maximum(plens[:a1 - a0, None], lens[None, b0:b1])
+                sf = np.round(1.0 - Df[:a1 - a0] / longer, 3)
+                sr = np.round(1.0 - Dr[:a1 - a0] / longer, 3)
+                eff = np.where(sf < 0.5, np.maximum(sf, sr), sf)
+                rev = (sf < 0.5) & (sr > sf)
+                keep = gate & (eff >= keep_threshold)
+                ai, bi = np.nonzero(keep)
+                ii.append(ai + a0)
+                jj.append(bi + b0)
+                ss.append(eff[keep])
+                rr.append(rev[keep])
+        if not ii:
+            z = np.zeros(0)
+            return PairHits(z.astype(int), z.astype(int), z, z.astype(bool))
+        return PairHits(np.concatenate(ii), np.concatenate(jj),
+                        np.concatenate(ss), np.concatenate(rr))
+
+    def _allvsall_native(self, codes_list, band, keep_threshold) -> PairHits:
+        from .. import native
+        n = len(codes_list)
+        D = native.all_vs_all(codes_list, band=band)
+        lens = np.array([len(c) for c in codes_list])
+        longer = np.maximum.outer(lens, lens)
+        computed = D >= 0
+        self.pairs_scored += int(computed.sum())
+        sims = np.where(computed, np.round(1.0 - D / longer, 3), -1.0)
+        # rc retry only for computed pairs with fwd sim < 0.5
+        rev = np.zeros_like(computed)
+        low_i, low_j = np.nonzero(computed & (sims < 0.5))
+        from ..io import encode as _enc
+        for i, j in zip(low_i, low_j):
+            rc = _enc.revcomp_codes(np.asarray(codes_list[j]))
+            d = native.edit_distance(codes_list[i], rc)
+            s = round(1.0 - d / longer[i, j], 3)
+            self.pairs_scored += 1
+            if s > sims[i, j]:
+                sims[i, j] = s
+                rev[i, j] = True
+        keep = computed & (sims >= keep_threshold)
+        ii, jj = np.nonzero(keep)
+        return PairHits(ii, jj, sims[keep], rev[keep])
+
+    # -- reads vs consensuses (species ladder) ----------------------------
+    # Fixed chunk sizes: shape diversity means XLA recompiles; one (64 x
+    # 512) tile shape per length bucket covers every ladder call.
+    R_CHUNK = 256
+    C_CHUNK = 64
+
+    def reads_vs_consensus_sims(self, read_codes: Sequence[np.ndarray],
+                                cons_codes: Sequence[np.ndarray],
+                                band: float = 1.05) -> np.ndarray:
+        """Effective NW sims [R, C] with the rc-retry rule; NaN where the
+        length gate skips the pair (reference :1664)."""
+        R, C = len(read_codes), len(cons_codes)
+        out = np.full((R, C), np.nan)
+        if R == 0 or C == 0:
+            return out
+        if self.backend == "native":
+            return self._rvc_native(read_codes, cons_codes, band, out)
+        L = _bucket(max(max(len(x) for x in read_codes),
+                        max(len(x) for x in cons_codes)))
+        rlen = np.array([len(x) for x in read_codes])
+        clen = np.array([len(x) for x in cons_codes])
+        for r0 in range(0, R, self.R_CHUNK):
+            r1 = min(r0 + self.R_CHUNK, R)
+            sub = [np.asarray(x) for x in read_codes[r0:r1]]
+            rc = [encode.revcomp_codes(x) for x in sub]
+            # fwd block at rows [0, R_CHUNK), rc block at [R_CHUNK, 2R_CHUNK)
+            rp = np.full((2 * self.R_CHUNK, L), 4, dtype=np.uint8)
+            rl = np.ones(2 * self.R_CHUNK, dtype=np.int32)
+            for k, x in enumerate(sub):
+                m = min(len(x), L)
+                rp[k, :m] = x[:m]
+                rl[k] = max(m, 1)
+                y = rc[k]
+                rp[self.R_CHUNK + k, :m] = y[:m]
+                rl[self.R_CHUNK + k] = max(m, 1)
+            for c0 in range(0, C, self.C_CHUNK):
+                c1 = min(c0 + self.C_CHUNK, C)
+                cp, cl = pack_codes(cons_codes[c0:c1], cap=L,
+                                    count_cap=self.C_CHUNK)
+                D = myers.distances(cp, cl, rp, rl, "NW")
+                nr = r1 - r0
+                Df = D[:c1 - c0, :nr].T
+                Dr = D[:c1 - c0, self.R_CHUNK:self.R_CHUNK + nr].T
+                longer = np.maximum(rlen[r0:r1, None], clen[None, c0:c1])
+                sf = np.round(1.0 - Df / longer, 3)
+                sr = np.round(1.0 - Dr / longer, 3)
+                eff = np.where(sf < 0.5, np.maximum(sf, sr), sf)
+                self.pairs_scored += 2 * nr * (c1 - c0)
+                lo = np.minimum(rlen[r0:r1, None], clen[None, c0:c1])
+                out[r0:r1, c0:c1] = np.where(lo * band >= longer, eff,
+                                             np.nan)
+        return out
+
+
+    def _rvc_native(self, read_codes, cons_codes, band, out):
+        from .. import native
+        from ..io import encode as _enc
+        for r, rcod in enumerate(read_codes):
+            rcod = np.asarray(rcod)
+            rcrev = None
+            for c, ccod in enumerate(cons_codes):
+                lo, hi = sorted((len(rcod), len(ccod)))
+                if lo * band < hi or lo == 0:
+                    continue
+                d = native.edit_distance(rcod, ccod)
+                s = round(1.0 - d / hi, 3)
+                self.pairs_scored += 1
+                if s < 0.5:
+                    if rcrev is None:
+                        rcrev = _enc.revcomp_codes(rcod)
+                    dr = native.edit_distance(rcrev, ccod)
+                    sr = round(1.0 - dr / hi, 3)
+                    self.pairs_scored += 1
+                    if sr > s:
+                        s = sr
+                out[r, c] = s
+        return out
+
+
+def _count_cap(n: int, caps=(8, 16, 32, 64, 128, 256, 512, 1024)) -> int:
+    for c in caps:
+        if n <= c:
+            return c
+    return -(-n // 1024) * 1024
+
+
+def _pad_rows(arr: np.ndarray, lens: np.ndarray, rows: int):
+    if arr.shape[0] == rows:
+        return arr, lens
+    out = np.full((rows, arr.shape[1]), 4, dtype=arr.dtype)
+    out[:arr.shape[0]] = arr
+    l2 = np.ones(rows, dtype=np.int32)
+    l2[:len(lens)] = lens
+    return out, l2

@@ -1,0 +1,206 @@
+"""18S/28S rRNA gene extraction (barrnap-equivalent stage 05a).
+
+Reference behavior replaced (05a_barrnap_rRNA_extract.sh:70-98):
+    barrnap -k euk --incseq contigs.fasta   -> GFF3 + FASTA of hits
+    seqkit grep -r -p 18S_rRNA / 28S_rRNA   -> per-sample _18S.fa/_28S.fa
+
+Two detection modes, both device-scored:
+
+* **profile mode** — a :class:`~tpu_orc.rrna.hmm.ProfileHMM` per gene
+  (from barrnap's euk.hmm via ``parse_hmmer3``, or built from example
+  sequences via ``profile_from_seqs``); local Viterbi on both strands,
+  interval = [start, end] from forward + reversed scans.
+* **exemplar mode** — a FASTA of known gene sequences; best infix
+  (HW-mode) location of any exemplar in the contig via the locate kernel,
+  hit if similarity >= ``min_identity``. Exact intervals, no model file.
+
+Output mirrors the reference layout: per-sample ``<name>_18S.fa`` /
+``<name>_28S.fa`` with ``<gene>_rRNA::<contig>:<start>-<end>`` headers
+(barrnap ``--incseq`` style).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..io import encode
+from ..io.fastq import Record, read_fasta, write_records
+from .hmm import ProfileHMM, viterbi_scan
+
+
+@dataclass
+class RRNAHit:
+    gene: str
+    contig_id: str
+    start: int          # 0-based, on the + strand of the contig
+    end: int
+    strand: str         # '+' or '-'
+    score: float        # viterbi score or identity
+    seq: str
+
+
+def _pack(seqs: Sequence[str]):
+    codes = [encode.encode_codes(s) for s in seqs]
+    L = max((len(c) for c in codes), default=1)
+    L = -(-L // 128) * 128
+    out = np.full((len(codes), L), 4, np.uint8)
+    lens = np.zeros(len(codes), np.int32)
+    for i, c in enumerate(codes):
+        out[i, :len(c)] = c
+        lens[i] = len(c)
+    return out, lens
+
+
+# ---------------------------------------------------------------------------
+# Exemplar mode
+# ---------------------------------------------------------------------------
+
+def find_gene_exemplar(records: Sequence[Record], exemplars: Sequence[str],
+                       gene: str, min_identity: float = 0.70,
+                       ) -> List[RRNAHit]:
+    """Best infix (HW) occurrence of any exemplar per contig, both strands.
+
+    Minimum-edit-distance objective (edlib/nhmmer-like), NOT the demux
+    kernel's max-matches objective — at lenient thresholds max-matches
+    stretches intervals with sloppy gapped tails. Identity is measured
+    against the exemplar length; hit start is recovered with a reversed
+    scan (reversed pattern vs reversed contig).
+    """
+    if not records:
+        return []
+    from ..align.myers import distances_with_pos
+    ex_codes = [encode.encode_codes(e.upper()) for e in exemplars]
+    A = len(ex_codes)
+    M = -(-max(len(c) for c in ex_codes) // 32) * 32
+    pat = np.full((A, M), 4, np.uint8)
+    rpat = np.full((A, M), 4, np.uint8)
+    plens = np.zeros(A, np.int32)
+    for i, c in enumerate(ex_codes):
+        pat[i, :len(c)] = c
+        rpat[i, :len(c)] = c[::-1]
+        plens[i] = len(c)
+    seqs = []
+    for r in records:
+        seqs.append(r.seq.upper())
+        seqs.append(encode.revcomp(r.seq.upper()))
+    codes = [encode.encode_codes(s) for s in seqs]
+    L = -(-max(len(c) for c in codes) // 128) * 128
+    txt = np.full((len(codes), L), 4, np.uint8)
+    rtxt = np.full((len(codes), L), 4, np.uint8)
+    tlens = np.zeros(len(codes), np.int32)
+    for i, c in enumerate(codes):
+        txt[i, :len(c)] = c
+        rtxt[i, :len(c)] = c[::-1]
+        tlens[i] = len(c)
+    d, end_pos = distances_with_pos(pat, plens, txt, tlens, "HW")
+    rd, rend_pos = distances_with_pos(rpat, plens, rtxt, tlens, "HW")
+    ident = 1.0 - d / np.maximum(plens[:, None], 1)
+    hits: List[RRNAHit] = []
+    for ri, rec in enumerate(records):
+        best = None
+        for k, strand in ((2 * ri, "+"), (2 * ri + 1, "-")):
+            a = int(np.argmax(ident[:, k]))
+            if ident[a, k] < min_identity:
+                continue
+            end = int(end_pos[a, k])
+            start = max(0, int(tlens[k]) - int(rend_pos[a, k]))
+            if start >= end:
+                continue
+            cand = (float(ident[a, k]), strand, start, end)
+            if best is None or cand[0] > best[0]:
+                best = cand
+        if best is None:
+            continue
+        sc, strand, qs, qe = best
+        n = len(rec.seq)
+        if strand == "-":
+            start, end = n - qe, n - qs
+            seq = encode.revcomp(rec.seq[start:end])
+        else:
+            start, end = qs, qe
+            seq = rec.seq[start:end]
+        hits.append(RRNAHit(gene, rec.id, start, end, strand, sc, seq))
+    return hits
+
+
+# ---------------------------------------------------------------------------
+# Profile (HMM) mode
+# ---------------------------------------------------------------------------
+
+def find_gene_profile(records: Sequence[Record], profile: ProfileHMM,
+                      gene: str, min_score: float) -> List[RRNAHit]:
+    if not records:
+        return []
+    seqs = []
+    for r in records:
+        seqs.append(r.seq.upper())
+        seqs.append(encode.revcomp(r.seq.upper()))
+    packed, lens = _pack(seqs)
+    score, end_pos, _ = viterbi_scan(profile, packed, lens)
+    # start via reversed sequences against the reversed profile
+    rev_profile = ProfileHMM(profile.name,
+                             profile.match_scores[::-1].copy(),
+                             profile.t[::-1].copy())
+    rpacked = np.full_like(packed, 4)
+    for i in range(len(seqs)):
+        n = int(lens[i])
+        rpacked[i, :n] = packed[i, :n][::-1]
+    rscore, rend, _ = viterbi_scan(rev_profile, rpacked, lens)
+    hits: List[RRNAHit] = []
+    for ri, rec in enumerate(records):
+        best = None
+        for k, strand in ((2 * ri, "+"), (2 * ri + 1, "-")):
+            if score[k] < min_score:
+                continue
+            end = int(end_pos[k])
+            start = max(0, int(lens[k]) - int(rend[k]))
+            if start >= end:
+                continue
+            cand = (float(score[k]), strand, start, end)
+            if best is None or cand[0] > best[0]:
+                best = cand
+        if best is None:
+            continue
+        sc, strand, start, end = best
+        n = len(rec.seq)
+        if strand == "-":
+            start, end = n - end, n - start
+            seq = encode.revcomp(rec.seq[start:end])
+        else:
+            seq = rec.seq[start:end]
+        hits.append(RRNAHit(gene, rec.id, start, end, strand, sc, seq))
+    return hits
+
+
+# ---------------------------------------------------------------------------
+# Stage driver (05a layout)
+# ---------------------------------------------------------------------------
+
+def extract_rrna(records: Sequence[Record], outdir: str, name: str,
+                 exemplars_18s: Optional[Sequence[str]] = None,
+                 exemplars_28s: Optional[Sequence[str]] = None,
+                 profile_18s: Optional[ProfileHMM] = None,
+                 profile_28s: Optional[ProfileHMM] = None,
+                 min_identity: float = 0.70,
+                 min_score: float = 50.0) -> Dict[str, List[RRNAHit]]:
+    """Extract 18S/28S hits and write <name>_18S.fa / <name>_28S.fa."""
+    out: Dict[str, List[RRNAHit]] = {}
+    for gene, ex, prof in (("18S", exemplars_18s, profile_18s),
+                           ("28S", exemplars_28s, profile_28s)):
+        if prof is not None:
+            hits = find_gene_profile(records, prof, gene, min_score)
+        elif ex:
+            hits = find_gene_exemplar(records, ex, gene, min_identity)
+        else:
+            continue
+        out[gene] = hits
+        recs = [Record(f"{gene}_rRNA::{h.contig_id}:{h.start}-{h.end}",
+                       f"{gene}_rRNA::{h.contig_id}:{h.start}-{h.end}"
+                       f"({h.strand})", h.seq) for h in hits]
+        os.makedirs(outdir, exist_ok=True)
+        write_records(os.path.join(outdir, f"{name}_{gene}.fa"), recs,
+                      fmt="fasta")
+    return out

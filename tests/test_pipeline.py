@@ -1,0 +1,192 @@
+"""Pipeline host-side components + CLI end-to-end (run-all on a tiny
+synthetic dataset)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tpu_orc.io.fastq import Record, write_records, read_fasta
+from tpu_orc.pipeline.qc import compute_stats, n50
+from tpu_orc.pipeline.extractors import (categorize_by_length,
+                                         extract_coi_max,
+                                         extract_ribo_max, get_readcount)
+from tpu_orc.pipeline.downstream import (blast_top5_filter,
+                                         prep_anchor_selection,
+                                         reorganise_barcodes,
+                                         sanitize_header)
+from tpu_orc.pipeline.summary import expected_barcodes, summarize_barcode_dir
+
+
+def test_n50():
+    assert n50(np.array([2, 2, 2, 3, 3, 4])) == 3
+    assert n50(np.array([10])) == 10
+
+
+def test_compute_stats():
+    recs = [Record("a", "a", "ACGT" * 25, "I" * 100),
+            Record("b", "b", "ACGT" * 50, "5" * 200)]
+    s = compute_stats(recs)
+    assert s.number_of_reads == 2
+    assert s.number_of_bases == 300
+    assert s.n50 == 200
+    assert s.mean_qual is not None
+
+
+def test_get_readcount():
+    assert get_readcount("BC_group1_readcount_42") == 42
+    assert get_readcount("no_count_here") == 0
+
+
+def test_categorize_by_length():
+    recs = [Record("m", "m", "A" * 700), Record("s", "s", "A" * 200),
+            Record("d", "d", "A" * 400)]
+    m, s, d = categorize_by_length(recs)
+    assert [r.id for r in m] == ["m"]
+    assert [r.id for r in s] == ["s"]
+    assert [r.id for r in d] == ["d"]
+
+
+def test_extract_ribo_max(tmp_path):
+    d = tmp_path / "bins" / "BC01"
+    d.mkdir(parents=True)
+    write_records(str(d / "BC01_18S.fa"), [
+        Record("x_readcount_5", "x_readcount_5", "ACGT"),
+        Record("y_readcount_9", "y_readcount_9", "ACGT")], fmt="fasta")
+    out = extract_ribo_max(str(tmp_path / "bins"), str(tmp_path / "out"))
+    assert len(out["18S"]) == 1 and out["18S"][0].id == "y_readcount_9"
+    assert (tmp_path / "out" / "18S_max_readcount.fa").exists()
+
+
+def test_extract_coi_max(tmp_path):
+    d = tmp_path / "bins" / "BC02"
+    d.mkdir(parents=True)
+    write_records(str(d / "BC02_COI.fasta"), [
+        Record("m_readcount_3", "m_readcount_3", "A" * 650),
+        Record("m2_readcount_8", "m2_readcount_8", "A" * 700),
+        Record("s_readcount_2", "s_readcount_2", "A" * 300)], fmt="fasta")
+    out = extract_coi_max(str(tmp_path / "bins"), str(tmp_path / "out"))
+    assert out["moorea"][0].id == "m2_readcount_8"
+    assert out["sauron"][0].id == "s_readcount_2"
+
+
+def test_blast_top5(tmp_path):
+    rows = []
+    for q in ("q1", "q2"):
+        for i in range(8):
+            rows.append(f"{q}\t100\ts{i}\t{10**-i}\t50\t98\t123")
+    p = tmp_path / "in.tsv"
+    p.write_text("\n".join(rows) + "\n")
+    out = tmp_path / "out.tsv"
+    n = blast_top5_filter(str(p), str(out))
+    assert n == 10
+    lines = out.read_text().strip().split("\n")
+    # per query, the 5 smallest e-values kept, ascending
+    q1 = [l.split("\t") for l in lines if l.startswith("q1")]
+    assert len(q1) == 5
+    assert float(q1[0][3]) <= float(q1[-1][3])
+    assert float(q1[0][3]) == 1e-7 and float(q1[-1][3]) == 1e-3
+
+
+def test_expected_barcodes_grid():
+    g = expected_barcodes()
+    assert len(g) == 96
+    assert "SP27_001_SP5_001" in g and "SP27_008_SP5_012" in g
+    assert not any("SP27_009" in b for b in g)
+
+
+def test_summary_grid_backfill(tmp_path):
+    d = tmp_path / "sorted"
+    d.mkdir()
+    write_records(str(d / "SP27_001_SP5_003_consensus_coi.fasta"), [
+        Record("SP27_001_SP5_003_group1_readcount_12",
+               "SP27_001_SP5_003_group1_readcount_12", "ACGT")],
+        fmt="fasta")
+    rows = summarize_barcode_dir(str(d), str(tmp_path / "sum.tsv"))
+    assert len(rows) == 96
+    hit = [r for r in rows if r["sample"] == "SP27_001_SP5_003"][0]
+    assert hit["amplicon_found"] == "yes"
+    assert hit["best_hit_readcount"] == 12
+    assert sum(1 for r in rows if r["amplicon_found"] == "no") == 95
+
+
+def test_sanitize_and_prep_anchors(tmp_path):
+    assert sanitize_header("a b|c:d") == "a_b_c_d"
+    aligned = tmp_path / "aligned.fa"
+    samples = tmp_path / "samples.fa"
+    write_records(str(aligned), [Record("s1|x", "s1|x", "ACGT"),
+                                 Record("anch 1", "anch 1", "ACGT")],
+                  fmt="fasta")
+    write_records(str(samples), [Record("s1|x", "s1|x", "ACGT")],
+                  fmt="fasta")
+    clean, meta = prep_anchor_selection(str(aligned), str(samples), "COI",
+                                        str(tmp_path / "out"))
+    txt = open(meta).read()
+    assert "s1_x,sample" in txt and "anch_1,anchor" in txt
+
+
+def test_reorganise_barcodes(tmp_path):
+    csv = tmp_path / "curated.csv"
+    csv.write_text(
+        "sample,fasta_header,barcode,expected_taxon,name\n"
+        "SP27_001_SP5_003_lakes,BC1_group1_readcount_9,COI,Mollusca,snailA\n")
+    coi = tmp_path / "coi.fa"
+    write_records(str(coi), [
+        Record("consensus_BC1_group1_readcount_9",
+               "consensus_BC1_group1_readcount_9", "ACGTACGT")],
+        fmt="fasta")
+    counts = reorganise_barcodes(str(csv), {"COI": str(coi)},
+                                 str(tmp_path))
+    assert counts == {"Mollusca/COI": 1}
+    out = tmp_path / "trees" / "Mollusca" / "COI.fasta"
+    assert out.read_text().startswith(">snailA|SP27_001_SP5_003|lakes")
+
+
+@pytest.mark.slow
+def test_cli_run_all(tmp_path):
+    """Full 00->05 via the CLI on a miniature two-species dataset."""
+    rng = np.random.default_rng(7)
+    from tpu_orc.demux.adapters import AdapterBank
+    REF = "/root/reference/adapters_primers"
+    sp5 = AdapterBank.from_fasta(f"{REF}/M13_amplicon_indices_forward.fa",
+                                 0.1)
+    sp27 = AdapterBank.from_fasta(
+        f"{REF}/M13_amplicon_indices_reverse_rc.fa", 0.1)
+
+    def noisy(s, err=0.03):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < err * 0.4:
+                continue
+            if r < err * 0.7:
+                out.append(str(rng.choice(list("ACGT"))))
+                out.append(ch)
+            elif r < err:
+                out.append(str(rng.choice(list("ACGT"))))
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    template = "".join(rng.choice(list("ACGT"), size=420))
+    reads = []
+    for i in range(30):
+        amplicon = noisy(template)
+        seq = sp5.seqs[0] + amplicon + sp27.seqs[0]
+        reads.append(Record(f"r{i}", f"r{i}", seq, "I" * len(seq)))
+    raw = tmp_path / "raw.fastq"
+    write_records(str(raw), reads, fmt="fastq")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    out = subprocess.run(
+        [sys.executable, "-m", "tpu_orc.cli", "run-all", str(raw),
+         "-o", str(tmp_path / "out"), "-n", "mini", "-a", "COI"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().split("\n")[-1])
+    assert rep["qc"]["reads"] == 30
+    assert rep["demux"]["binned_reads"] == 30
+    assert (tmp_path / "out" / "amplicon_summary.tsv").exists()
+    assert (tmp_path / "out" / "run_report.json").exists()

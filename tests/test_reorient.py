@@ -14,7 +14,9 @@ CONFIG = "+:SP5,-SP27|-:SP27,-SP5"
 
 @pytest.fixture(scope="module")
 def reorienter():
-    return Reorienter(PRIMERS, CONFIG, ReorientConfig())
+    # insert-recovery tests use keep_primers=False; the default (True,
+    # pychopper -p) is covered by test_keep_primers_preserves_indices
+    return Reorienter(PRIMERS, CONFIG, ReorientConfig(keep_primers=False))
 
 
 @pytest.fixture(scope="module")
@@ -107,3 +109,18 @@ def test_noisy_primers_still_classified(reorienter, profiles, rng):
            + mutate(encode.revcomp(concretize(rng, sp27)), 5))
     res = reorienter.run([Record("n1", "n1", seq, q(len(seq)))])
     assert res.stats["pass"] == 1
+
+
+def test_keep_primers_preserves_indices(profiles, rng):
+    """Default mode (-p): indices survive for stage-02 demux."""
+    sp5, sp27 = profiles
+    insert = "".join(rng.choice(list("ACGT"), size=120))
+    c5 = concretize(rng, sp5)
+    c27rc = encode.revcomp(concretize(rng, sp27))
+    seq = "GGTTGG" + c5 + insert + c27rc + "CCAACC"
+    r = Reorienter(PRIMERS, CONFIG, ReorientConfig())
+    res = r.run([Record("k1", "k1", seq, "I" * len(seq))])
+    assert res.stats["pass"] == 1
+    out = res.passed[0].seq
+    assert c5 in out and c27rc in out         # primers kept
+    assert "GGTTGG" not in out and "CCAACC" not in out  # junk trimmed

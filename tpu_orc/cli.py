@@ -1,0 +1,210 @@
+"""tpu_orc command line: one CLI with subcommands mirroring the
+reference's SLURM stages 00-09 plus run-all (SURVEY.md §7.1 cli/).
+
+    python -m tpu_orc.cli qc        <fastq> -o OUT -n NAME
+    python -m tpu_orc.cli reorient  <fastq> -o OUT -n NAME
+    python -m tpu_orc.cli demux     <fastq> -o OUT -n DATASET
+    python -m tpu_orc.cli sort      <bin.fastq> -o OUT -b BARCODE [-p PREFIX]
+                                    [--min N] [--max N] [--seed N]
+    python -m tpu_orc.cli clean     <consensus.fasta> -o OUT -b BARCODE
+                                    -a {COI,RNA}
+    python -m tpu_orc.cli rrna      <contigs.fasta> -o OUT -b BARCODE
+                                    [--exemplars-18s F] [--exemplars-28s F]
+    python -m tpu_orc.cli extract-max  <dir> -o OUT {ribo,coi}
+    python -m tpu_orc.cli summary   <sorted-dir> -o OUT.tsv
+    python -m tpu_orc.cli blast-top5 <blast.tsv> -o OUT.tsv
+    python -m tpu_orc.cli reorganise <csv> --coi F --r18s F --r28s F -o OUT
+    python -m tpu_orc.cli prep-anchors <aligned.fa> <samples.fa> -g GENE
+    python -m tpu_orc.cli run-all   <fastq> -o OUT -n DATASET -a {COI,RNA}
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    # honor JAX_PLATFORMS despite the axon plugin's import-time config
+    # stomp (see tests/conftest.py)
+    import os
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+        jax.config.update("jax_platforms", want)
+
+    p = argparse.ArgumentParser(prog="tpu_orc", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, **kw):
+        sp = sub.add_parser(name, **kw)
+        return sp
+
+    sp = add("qc")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--outdir", required=True)
+    sp.add_argument("-n", "--name", required=True)
+
+    sp = add("reorient")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--outdir", required=True)
+    sp.add_argument("-n", "--name", required=True)
+    sp.add_argument("-Q", "--qmin", type=float, default=10.0)
+
+    sp = add("demux")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--outdir", required=True)
+    sp.add_argument("-n", "--dataset", required=True)
+    sp.add_argument("-e", "--error-rate", type=float, default=0.1)
+
+    sp = add("sort")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--outdir", required=True)
+    sp.add_argument("-b", "--barcode", required=True)
+    sp.add_argument("-p", "--prefix", default="amplicons")
+    sp.add_argument("--min", type=int, default=300)
+    sp.add_argument("--max", type=int, default=None)
+    sp.add_argument("--maxr", type=int, default=10000)
+    sp.add_argument("--seed", type=int, default=42)
+
+    sp = add("clean")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--outdir", required=True)
+    sp.add_argument("-b", "--barcode", required=True)
+    sp.add_argument("-a", "--amplicon", choices=["COI", "RNA"],
+                    required=True)
+    sp.add_argument("-e", "--error-rate", type=float, default=0.1)
+
+    sp = add("rrna")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--outdir", required=True)
+    sp.add_argument("-b", "--barcode", required=True)
+    sp.add_argument("--exemplars-18s")
+    sp.add_argument("--exemplars-28s")
+    sp.add_argument("--hmm", help="HMMER3 .hmm with 18S/28S models")
+
+    sp = add("extract-max")
+    sp.add_argument("mode", choices=["ribo", "coi"])
+    sp.add_argument("indir")
+    sp.add_argument("-o", "--outdir", required=True)
+
+    sp = add("summary")
+    sp.add_argument("indir")
+    sp.add_argument("-o", "--out", required=True)
+
+    sp = add("blast-top5")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--out", required=True)
+
+    sp = add("reorganise")
+    sp.add_argument("csv")
+    sp.add_argument("--coi", required=True)
+    sp.add_argument("--r18s", required=True)
+    sp.add_argument("--r28s", required=True)
+    sp.add_argument("-o", "--outdir", required=True)
+
+    sp = add("prep-anchors")
+    sp.add_argument("aligned_fasta")
+    sp.add_argument("samples_fasta")
+    sp.add_argument("-g", "--gene", required=True)
+    sp.add_argument("-o", "--outdir")
+
+    sp = add("run-all")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--outdir", required=True)
+    sp.add_argument("-n", "--dataset", required=True)
+    sp.add_argument("-a", "--amplicon", choices=["COI", "RNA"],
+                    required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "qc":
+        from .pipeline.stages import stage_qc
+        stats = stage_qc(args.input, args.outdir, args.name)
+        print(json.dumps(stats.__dict__))
+    elif args.cmd == "reorient":
+        from .pipeline.stages import PipelineConfig, stage_reorient
+        cfg = PipelineConfig(qmin=args.qmin)
+        res = stage_reorient(args.input, args.outdir, args.name, cfg)
+        print(json.dumps(res.stats))
+    elif args.cmd == "demux":
+        from .pipeline.stages import PipelineConfig, stage_demux
+        cfg = PipelineConfig(e_rate=args.error_rate)
+        rep = stage_demux(args.input, args.outdir, args.dataset, cfg)
+        print(json.dumps({"final_bins": rep["final_bins"]}))
+    elif args.cmd == "sort":
+        from .cluster.engine import SorterConfig
+        from .pipeline.stages import PipelineConfig, stage_sort
+        cfg = PipelineConfig(sorter=SorterConfig(
+            min_length=args.min, max_length=args.max, max_reads=args.maxr,
+            seed=args.seed))
+        result, path = stage_sort(args.input, args.outdir, args.barcode,
+                                  args.prefix, cfg)
+        print(json.dumps({"skipped": result.skipped,
+                          "reads": result.n_reads,
+                          "species_groups": sum(len(s)
+                                                for s in result.species),
+                          "consensus": path}))
+    elif args.cmd == "clean":
+        from .pipeline.stages import PipelineConfig, stage_clean
+        cfg = PipelineConfig(clean_e_rate=args.error_rate)
+        clean, rep = stage_clean(args.input, args.outdir, args.barcode,
+                                 args.amplicon, cfg)
+        print(json.dumps({"total": rep.total, "trimmed": rep.trimmed,
+                          "failsafe_dropped": rep.failsafe_dropped}))
+    elif args.cmd == "rrna":
+        from .io.fastq import read_fasta, read_records
+        from .rrna.extract import extract_rrna
+        from .rrna.hmm import parse_hmmer3
+        kw = {}
+        if args.exemplars_18s:
+            kw["exemplars_18s"] = [r.seq for r in
+                                   read_fasta(args.exemplars_18s)]
+        if args.exemplars_28s:
+            kw["exemplars_28s"] = [r.seq for r in
+                                   read_fasta(args.exemplars_28s)]
+        if args.hmm:
+            models = {m.name: m for m in parse_hmmer3(args.hmm)}
+            for name, m in models.items():
+                if "18" in name:
+                    kw["profile_18s"] = m
+                if "28" in name:
+                    kw["profile_28s"] = m
+        hits = extract_rrna(list(read_records(args.input)), args.outdir,
+                            args.barcode, **kw)
+        print(json.dumps({g: len(h) for g, h in hits.items()}))
+    elif args.cmd == "extract-max":
+        from .pipeline.extractors import extract_coi_max, extract_ribo_max
+        fn = extract_ribo_max if args.mode == "ribo" else extract_coi_max
+        out = fn(args.indir, args.outdir)
+        print(json.dumps({k: len(v) for k, v in out.items()}))
+    elif args.cmd == "summary":
+        from .pipeline.summary import summarize_barcode_dir
+        rows = summarize_barcode_dir(args.indir, args.out)
+        found = sum(1 for r in rows if r["amplicon_found"] == "yes")
+        print(json.dumps({"rows": len(rows), "found": found}))
+    elif args.cmd == "blast-top5":
+        from .pipeline.downstream import blast_top5_filter
+        n = blast_top5_filter(args.input, args.out)
+        print(json.dumps({"kept": n}))
+    elif args.cmd == "reorganise":
+        from .pipeline.downstream import reorganise_barcodes
+        counts = reorganise_barcodes(
+            args.csv, {"COI": args.coi, "18S": args.r18s,
+                       "28S": args.r28s}, args.outdir)
+        print(json.dumps(counts))
+    elif args.cmd == "prep-anchors":
+        from .pipeline.downstream import prep_anchor_selection
+        clean, meta = prep_anchor_selection(args.aligned_fasta,
+                                            args.samples_fasta, args.gene,
+                                            args.outdir)
+        print(json.dumps({"cleaned": clean, "metadata": meta}))
+    elif args.cmd == "run-all":
+        from .pipeline.stages import run_all
+        rep = run_all(args.input, args.outdir, args.dataset, args.amplicon)
+        print(json.dumps(rep, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

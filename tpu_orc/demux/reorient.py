@@ -51,6 +51,11 @@ class ReorientConfig:
     min_len: int = 50             # -z minimum segment length
     max_segments: int = 4         # fused-read rescue bound
     min_primer_overlap: int = 3
+    # pychopper -p "keep primers, trim the rest" (01_pychopper.sh:54):
+    # the segment spans [primer5.start, primer3.end] so the dual-index
+    # adapters survive for stage-02 demultiplexing. False trims to the
+    # insert between the primers.
+    keep_primers: bool = True
 
 
 @dataclass
@@ -113,6 +118,9 @@ class Reorienter:
             end5 = int(hits["querystop"][b, i5])
             start3 = int(hits["querystart"][b, i3])
             if end5 <= start3:
+                if self.cfg.keep_primers:
+                    return (sign, int(hits["querystart"][b, i5]),
+                            int(hits["querystop"][b, i3]))
                 return sign, end5, start3
         return None
 

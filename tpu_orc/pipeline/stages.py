@@ -1,0 +1,178 @@
+"""Stage graph: the end-to-end pipeline with the reference's directory
+conventions (SURVEY.md §1 layer map, §3.1 call stack).
+
+Each stage function is independently callable (mirroring the reference's
+one-SLURM-script-per-stage design, with directory layout as the API) and
+``run_all`` chains them:
+
+  00 qc         raw.fastq            -> <name>_nanoplot/
+  01 reorient   raw.fastq            -> pychopped/<name>_pass.fastq (+aux)
+  02 demux      pass.fastq           -> demuxed/SP5/, demuxed/SP27/
+  03 sort       demuxed bin          -> sorted/<barcode>/ + consensus file
+  04 clean      consensus fasta      -> primerless/<barcode>/
+  05 rrna       cleaned contigs      -> rRNA_genes/<barcode>_{18S,28S}.fa
+  LX summary    sorted/              -> amplicon_summary.tsv
+
+Every stage's output directory is a durable checkpoint; any stage can be
+re-run from its predecessor's directory (reference behavior, SURVEY.md §5
+checkpoint/resume).
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+from ..cluster.engine import AmpliconSorter, SorterConfig
+from ..cluster.output import write_barcode_consensus, write_sort_outputs
+from ..demux.adapters import AdapterBank
+from ..demux.demux import dual_round_demux
+from ..demux.primer_clean import clean_primers
+from ..demux.reorient import ReorientConfig, reorient_file
+from ..io.fastq import read_records
+from ..rrna.extract import extract_rrna
+from .qc import write_stats
+from .summary import summarize_barcode_dir
+
+DEFAULT_ADAPTER_DIR = "/root/reference/adapters_primers"
+
+
+@dataclass
+class PipelineConfig:
+    adapters_dir: str = DEFAULT_ADAPTER_DIR
+    e_rate: float = 0.1                      # 02_cutadapt_loop.sh:22
+    qmin: float = 10.0                       # 01_pychopper.sh:16
+    sorter: SorterConfig = field(default_factory=SorterConfig)
+    clean_e_rate: float = 0.1
+    rrna_exemplars_18s: Optional[str] = None  # FASTA paths
+    rrna_exemplars_28s: Optional[str] = None
+
+    @property
+    def sp5_fasta(self):
+        return os.path.join(self.adapters_dir,
+                            "M13_amplicon_indices_forward.fa")
+
+    @property
+    def sp27rc_fasta(self):
+        return os.path.join(self.adapters_dir,
+                            "M13_amplicon_indices_reverse_rc.fa")
+
+    @property
+    def pychopper_fasta(self):
+        return os.path.join(self.adapters_dir, "M13_seqs_for_pychopper.fa")
+
+    @property
+    def pychopper_config(self):
+        return os.path.join(self.adapters_dir,
+                            "M13_config_for_pychopper.txt")
+
+    @property
+    def coi_primers(self):
+        return os.path.join(self.adapters_dir, "COI_primers.fa")
+
+    @property
+    def rna_primers(self):
+        return os.path.join(self.adapters_dir, "RNA_primers.fa")
+
+
+def stage_qc(in_fastq: str, outdir: str, name: str):
+    return write_stats(read_records(in_fastq), outdir, name)
+
+
+def stage_reorient(in_fastq: str, outdir: str, name: str,
+                   cfg: PipelineConfig):
+    return reorient_file(in_fastq, cfg.pychopper_fasta,
+                         cfg.pychopper_config,
+                         os.path.join(outdir, "pychopped"), name,
+                         ReorientConfig(qmin=cfg.qmin))
+
+
+def stage_demux(in_fastq: str, outdir: str, dataset: str,
+                cfg: PipelineConfig):
+    sp5 = AdapterBank.from_fasta(cfg.sp5_fasta, cfg.e_rate)
+    sp27 = AdapterBank.from_fasta(cfg.sp27rc_fasta, cfg.e_rate)
+    records = list(read_records(in_fastq))
+    return dual_round_demux(records, sp5, sp27, dataset,
+                            os.path.join(outdir, "demuxed"))
+
+
+def stage_sort(bin_fastq: str, outdir: str, barcode: str, prefix: str,
+               cfg: PipelineConfig):
+    records = list(read_records(bin_fastq))
+    sorter = AmpliconSorter(cfg.sorter)
+    result = sorter.sort_records(records)
+    sorted_dir = os.path.join(outdir, "sorted", barcode)
+    write_sort_outputs(result, records, sorted_dir, barcode)
+    consensus_path = write_barcode_consensus(
+        result, os.path.join(outdir, "sorted"), barcode, prefix)
+    return result, consensus_path
+
+
+def stage_clean(consensus_fasta: str, outdir: str, barcode: str,
+                amplicon: str, cfg: PipelineConfig):
+    primers = cfg.coi_primers if amplicon.upper() == "COI" \
+        else cfg.rna_primers
+    records = list(read_records(consensus_fasta))
+    return clean_primers(records, primers,
+                         outdir=os.path.join(outdir, "primerless", barcode),
+                         name=barcode, e=cfg.clean_e_rate)
+
+
+def stage_rrna(cleaned_fasta: str, outdir: str, barcode: str,
+               cfg: PipelineConfig):
+    from ..io.fastq import read_fasta
+    ex18 = ([r.seq for r in read_fasta(cfg.rrna_exemplars_18s)]
+            if cfg.rrna_exemplars_18s else None)
+    ex28 = ([r.seq for r in read_fasta(cfg.rrna_exemplars_28s)]
+            if cfg.rrna_exemplars_28s else None)
+    records = list(read_records(cleaned_fasta))
+    return extract_rrna(records, os.path.join(outdir, "rRNA_genes"),
+                        barcode, exemplars_18s=ex18, exemplars_28s=ex28)
+
+
+def run_all(in_fastq: str, outdir: str, dataset: str, amplicon: str,
+            cfg: Optional[PipelineConfig] = None,
+            prefix: str = "amplicons") -> Dict:
+    """00 -> 05 on one dataset FASTQ. Returns a run report dict and writes
+    run_report.json."""
+    cfg = cfg or PipelineConfig()
+    os.makedirs(outdir, exist_ok=True)
+    report: Dict = {"dataset": dataset, "amplicon": amplicon}
+
+    stats = stage_qc(in_fastq, outdir, dataset)
+    report["qc"] = {"reads": stats.number_of_reads, "n50": stats.n50}
+
+    reor = stage_reorient(in_fastq, outdir, dataset, cfg)
+    report["reorient"] = reor.stats
+    pass_path = os.path.join(outdir, "pychopped", f"{dataset}_pass.fastq")
+
+    demux_rep = stage_demux(pass_path, outdir, dataset, cfg)
+    report["demux"] = {"bins": len(demux_rep["final_bins"]),
+                       "binned_reads": sum(demux_rep["final_bins"].values())}
+
+    report["barcodes"] = {}
+    for comb in sorted(demux_rep["final_bins"]):
+        bin_path = os.path.join(outdir, "demuxed", "SP27",
+                                f"{comb}_{dataset}.fastq.gz")
+        result, consensus_path = stage_sort(bin_path, outdir, comb, prefix,
+                                            cfg)
+        rep_bc = {"reads": result.n_reads, "skipped": result.skipped,
+                  "species_groups": sum(len(s) for s in result.species)}
+        if not result.skipped and rep_bc["species_groups"]:
+            clean, crep = stage_clean(consensus_path, outdir, comb,
+                                      amplicon, cfg)
+            rep_bc["cleaned"] = len(clean)
+            cleaned_path = os.path.join(outdir, "primerless", comb,
+                                        f"cleaned_{comb}.fasta")
+            if amplicon.upper() != "COI" and (cfg.rrna_exemplars_18s
+                                              or cfg.rrna_exemplars_28s):
+                hits = stage_rrna(cleaned_path, outdir, comb, cfg)
+                rep_bc["rrna"] = {g: len(h) for g, h in hits.items()}
+        report["barcodes"][comb] = rep_bc
+
+    summarize_barcode_dir(os.path.join(outdir, "sorted"),
+                          os.path.join(outdir, "amplicon_summary.tsv"))
+    with open(os.path.join(outdir, "run_report.json"), "w") as fh:
+        json.dump(report, fh, indent=2, default=str)
+    return report

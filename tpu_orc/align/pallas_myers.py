@@ -1,0 +1,190 @@
+"""Pallas TPU kernel: tiled all-vs-all Myers bit-parallel edit distance.
+
+The lax.scan implementation in align/myers.py expresses the right
+algorithm but leaves scheduling to XLA; this kernel pins the layout for
+the VPU:
+
+* a [TI, TJ] pair tile lives entirely in VMEM; patterns index sublanes,
+  texts index lanes;
+* the DP state (VP/VN per 32-bit word) is a [W, TI, TJ] uint32 scratch —
+  each word step is ~20 bitwise VPU ops covering 32 DP cells per lane;
+* Eq lookup is a 5-way select of per-pattern Peq columns against the
+  per-lane text character (no gather);
+* per-lane pattern lengths are handled by testing bit (m-1) of the
+  pre-shift Ph/Mh in word (m-1)//32 (variable per-sublane shifts);
+* the column loop is a fori_loop; the word loop is statically unrolled.
+
+Grid: (pattern tiles x text tiles); Peq/lengths blocks are re-used along
+the text axis, text blocks along the pattern axis.
+
+Semantics identical to align/myers.py::myers_tile (NW/SHW/HW), which is
+itself parity-tested against the Python and C++ oracles.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WORD = 32
+NCHAN = 8  # channel stride in the packed Peq (0..4 used, 5..7 zero)
+
+
+def build_peq_packed(codes: np.ndarray, m_lens: np.ndarray,
+                     W: int) -> np.ndarray:
+    """codes [P, M] uint8 -> packed Peq [P, W*NCHAN] uint32 (host side)."""
+    P, M = codes.shape
+    Mp = W * WORD
+    c = np.full((P, Mp), 5, np.uint8)
+    c[:, :M] = codes[:, :Mp]
+    pos = np.arange(Mp)[None, :]
+    c = np.where(pos < np.asarray(m_lens)[:, None], c, 5)
+    out = np.zeros((P, W * NCHAN), np.uint32)
+    weights = (np.uint32(1) << np.arange(WORD, dtype=np.uint32))
+    for w in range(W):
+        blk = c[:, w * WORD:(w + 1) * WORD]
+        for ch in range(5):
+            out[:, w * NCHAN + ch] = ((blk == ch) * weights).sum(
+                axis=1, dtype=np.uint64).astype(np.uint32)
+    return out
+
+
+def _kernel(mode, W, TI, TJ, N,
+            peq_ref, mlen_ref, texts_ref, nlen_ref,
+            dist_ref, pos_ref, vp, vn, score, best, bpos):
+    hin0 = 0 if mode == "HW" else 1
+    ones = jnp.full((TI, TJ), 0xFFFFFFFF, dtype=jnp.uint32)
+    zeros32 = jnp.zeros((TI, TJ), jnp.uint32)
+    for w in range(W):
+        vp[w] = ones
+        vn[w] = zeros32
+    m = mlen_ref[:, 0][:, None]                      # [TI, 1] int32
+    score[:, :] = jnp.broadcast_to(m, (TI, TJ))
+    best[:, :] = score[:, :]
+    bpos[:, :] = jnp.zeros((TI, TJ), jnp.int32)
+    w_idx = (m - 1) // WORD                          # [TI, 1]
+    r_idx = ((m - 1) % WORD).astype(jnp.uint32)      # [TI, 1]
+    nl = nlen_ref[0, :][None, :]                     # [1, TJ]
+
+    def col(j, _):
+        c = texts_ref[j, :][None, :]                 # [1, TJ] int32
+        valid = (j + 1) <= nl                        # [1, TJ] bool
+        hin = jnp.full((TI, TJ), hin0, jnp.int32)
+        sc = score[:, :]
+        for w in range(W):
+            eq = zeros32
+            for ch in range(5):
+                colv = peq_ref[:, w * NCHAN + ch][:, None]   # [TI, 1]
+                eq = jnp.where(c == ch, colv, eq)
+            hin_neg = (hin < 0).astype(jnp.uint32)
+            hin_pos = (hin > 0).astype(jnp.uint32)
+            Pv = vp[w]
+            Mv = vn[w]
+            Xv = eq | Mv
+            Eq_ = eq | hin_neg
+            Xh = (((Eq_ & Pv) + Pv) ^ Pv) | Eq_
+            Ph = Mv | ~(Xh | Pv)
+            Mh = Pv & Xh
+            at_m = w_idx == w
+            d_at_m = (((Ph >> r_idx) & 1).astype(jnp.int32)
+                      - ((Mh >> r_idx) & 1).astype(jnp.int32))
+            sc = sc + jnp.where(at_m & valid, d_at_m, 0)
+            hout = (((Ph >> 31) & 1).astype(jnp.int32)
+                    - ((Mh >> 31) & 1).astype(jnp.int32))
+            Ph = (Ph << 1) | hin_pos
+            Mh = (Mh << 1) | hin_neg
+            vp[w] = Mh | ~(Xv | Ph)
+            vn[w] = Ph & Xv
+            hin = hout
+        score[:, :] = sc
+        if mode != "NW":
+            improved = valid & (sc < best[:, :])
+            best[:, :] = jnp.where(improved, sc, best[:, :])
+            bpos[:, :] = jnp.where(improved, j + 1, bpos[:, :])
+        return 0
+
+    jax.lax.fori_loop(0, N, col, 0)
+    if mode == "NW":
+        dist_ref[:, :] = score[:, :]
+        pos_ref[:, :] = jnp.broadcast_to(nl, (TI, TJ))
+    else:
+        dist_ref[:, :] = best[:, :]
+        pos_ref[:, :] = bpos[:, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "W", "TI", "TJ", "interpret"))
+def myers_tile_pallas(peq_packed, m_lens, texts_T, n_lens,
+                      mode: str = "NW", W: int = 32, TI: int = 128,
+                      TJ: int = 128, interpret: bool = False):
+    """peq_packed [P, W*NCHAN] uint32, m_lens [P,1] int32,
+    texts_T [N, T] int32 (column-major texts), n_lens [1, T] int32.
+    P % TI == 0, T % TJ == 0. Returns (dist [P,T] int32, pos [P,T] int32).
+    """
+    P = peq_packed.shape[0]
+    T = texts_T.shape[1]
+    N = texts_T.shape[0]
+    grid = (P // TI, T // TJ)
+    kernel = functools.partial(_kernel, mode, W, TI, TJ, N)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TI, W * NCHAN), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, TJ), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TJ), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TI, TJ), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, TJ), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, T), jnp.int32),
+            jax.ShapeDtypeStruct((P, T), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, TI, TJ), jnp.uint32),
+            pltpu.VMEM((W, TI, TJ), jnp.uint32),
+            pltpu.VMEM((TI, TJ), jnp.int32),
+            pltpu.VMEM((TI, TJ), jnp.int32),
+            pltpu.VMEM((TI, TJ), jnp.int32),
+        ],
+        interpret=interpret,
+    )(peq_packed, m_lens, texts_T, n_lens)
+
+
+def distances_pallas(patterns_codes: np.ndarray, m_lens: np.ndarray,
+                     texts_codes: np.ndarray, n_lens: np.ndarray,
+                     mode: str = "NW", TI: int = 128, TJ: int = 128,
+                     interpret: bool = False):
+    """Host wrapper mirroring align.myers.distances_with_pos, padding to
+    tile multiples."""
+    P0 = patterns_codes.shape[0]
+    T0 = texts_codes.shape[0]
+    W = max(1, -(-int(patterns_codes.shape[1]) // WORD))
+    P = -(-P0 // TI) * TI
+    T = -(-T0 // TJ) * TJ
+    m = np.ones((P, 1), np.int32)
+    m[:P0, 0] = np.asarray(m_lens, np.int32)
+    peq = np.zeros((P, W * NCHAN), np.uint32)
+    peq[:P0] = build_peq_packed(np.asarray(patterns_codes), m_lens, W)
+    N = texts_codes.shape[1]
+    tt = np.full((N, T), 5, np.int32)
+    tt[:, :T0] = np.asarray(texts_codes, np.int32).T
+    nl = np.ones((1, T), np.int32)
+    nl[0, :T0] = np.asarray(n_lens, np.int32)
+    d, p = myers_tile_pallas(jnp.asarray(peq), jnp.asarray(m),
+                             jnp.asarray(tt), jnp.asarray(nl),
+                             mode, W, TI, TJ, interpret)
+    return np.asarray(d)[:P0, :T0], np.asarray(p)[:P0, :T0]

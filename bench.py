@@ -14,7 +14,14 @@ Secondary details: all-vs-all Myers clustering throughput (cells/s and
 pairwise alignments/s) on device vs the C++ 64-bit Myers.
 """
 import json
+import os
 import time
+
+# enable the persistent compilation cache BEFORE jax is imported anywhere
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import numpy as np
 
@@ -34,6 +41,8 @@ def main():
     sp27 = AdapterBank.from_fasta(
         f"{REF}/M13_amplicon_indices_reverse_rc.fa", 0.1)
 
+    from tpu_orc.align.batched import batched_locate_with_rc
+
     rng = np.random.default_rng(0)
     B = 2048
     reads = []
@@ -43,18 +52,25 @@ def main():
         if i % 2:
             s = encode.revcomp(s)
         reads.append(s)
-    rc_reads = [encode.revcomp(s) for s in reads]
-    both = reads + rc_reads
 
-    # --- device: dual-round scoring (round1 FRONT + round2 BACK, fwd+rc)
+    # --- device: dual-round scoring (round1 FRONT + round2 BACK, --rc
+    # generated on device; one upload per round)
     def device_round():
-        r1 = locate_batch(sp5, both, FRONT)
-        idx, m, qs, qe = _best_per_read(
-            type(r1)(*[np.asarray(v)[:B] for v in r1]))
+        masks, lens = encode.pack_batch(
+            reads, max_len=512, pad_multiple=1,
+            encoder=encode.encode_read_masks, pad_value=0)
+        f, r = batched_locate_with_rc(sp5.masks, sp5.lens, sp5.k_table,
+                                      sp5.n_prefix, masks, lens,
+                                      int(FRONT))
+        _, _, _, qe = _best_per_read(f)
         trimmed = [s[int(e):] for s, e in zip(reads, qe)]
-        r2 = locate_batch(sp27, trimmed + [encode.revcomp(t)
-                                           for t in trimmed], BACK)
-        return np.asarray(r2.valid).sum()
+        m2, l2 = encode.pack_batch(
+            trimmed, max_len=512, pad_multiple=1,
+            encoder=encode.encode_read_masks, pad_value=0)
+        f2, r2 = batched_locate_with_rc(sp27.masks, sp27.lens,
+                                        sp27.k_table, sp27.n_prefix,
+                                        m2, l2, int(BACK))
+        return np.asarray(f2.valid).sum()
 
     device_round()  # warmup/compile
     t0 = time.time()
@@ -68,7 +84,9 @@ def main():
     ref_masks5 = [encode.encode_ref_masks(s) for s in sp5.seqs]
     ref_masks27 = [encode.encode_ref_masks(s) for s in sp27.seqs]
     n_cpu = 256
-    qm = [encode.encode_read_masks(s) for s in both[:n_cpu]]
+    cpu_reads = reads[:n_cpu // 2]
+    cpu_reads = cpu_reads + [encode.revcomp(s) for s in cpu_reads]
+    qm = [encode.encode_read_masks(s) for s in cpu_reads]
     t0 = time.time()
     native.locate_batch(ref_masks5, qm, 0.1, int(FRONT))
     native.locate_batch(ref_masks27, qm, 0.1, int(BACK))

@@ -135,3 +135,19 @@ def test_deterministic(rng):
     assert [s.consensus for g in r1.species for s in g] == \
            [s.consensus for g in r2.species for s in g]
     assert r1.gene_groups == r2.gene_groups
+
+
+def test_ambiguous_consensus_iupac(rng):
+    """-amb equivalent: a 50/50 split column becomes an IUPAC code."""
+    from tpu_orc.cluster.consensus import build_consensus_iupac
+    template = "".join(rng.choice(list("ACGT"), size=200))
+    reads = []
+    for i in range(30):
+        s = list(template)
+        s[100] = "C" if i % 2 else "T"   # heterozygous-like site
+        reads.append(encode.encode_codes("".join(s)))
+    cons = build_consensus_iupac(reads)
+    assert "Y" in cons, cons[95:105]
+    # the rest matches the template
+    plain = cons.replace("Y", template[100])
+    assert sim(plain, template) >= 0.995

@@ -19,6 +19,13 @@ TPU-first design notes
   double math in the original; we precompute integer tables
   ``k_table[a, eff] = floor_f64(e * eff)`` on host so the device compares
   integers only — exact double semantics without enabling x64.
+* NO gathers in the column loop: TPU gathers serialize. Row-m candidate
+  fields are extracted with a one-hot masked reduction; table lookups
+  keyed on runtime indices (refstart, eff) use one-hot compare+reduce;
+  the STOP_WITHIN_SEQ1 final-column candidates are captured by
+  snapshotting the column state where ``j == read_len`` and evaluated
+  once after the scan. (The gather formulation ran ~50 s per BACK batch;
+  this one runs in milliseconds.)
 """
 from __future__ import annotations
 
@@ -51,12 +58,9 @@ class LocateResult(NamedTuple):
 
 def make_k_table(max_error_rate: float, ref_masks: np.ndarray,
                  ref_lens: np.ndarray) -> np.ndarray:
-    """Host-side exact-double error-budget tables.
-
-    Returns [A, M+1] int32 where entry [a, eff] = floor(e * eff) computed in
-    float64 (cutadapt's C-double semantics), independent of adapter — kept
-    per-adapter for future per-adapter error rates.
-    """
+    """Host-side exact-double error-budget tables: [A, M+1] int32 with
+    entry [a, eff] = floor(e * eff) in float64 (cutadapt's C-double
+    semantics)."""
     A, M = ref_masks.shape
     eff = np.arange(M + 1, dtype=np.float64)
     row = np.floor(max_error_rate * eff).astype(np.int32)
@@ -72,16 +76,12 @@ def make_n_prefix(ref_masks: np.ndarray) -> np.ndarray:
 
 
 def _prefix_min_scan(v, matches, origin):
-    """Inclusive prefix-min over the row axis (last), tie -> larger index.
-
-    v/matches/origin: [..., R]. Returns scanned (v, matches, origin).
-    """
+    """Inclusive prefix-min over the row axis (last), tie -> larger index."""
     R = v.shape[-1]
     d = 1
     while d < R:
-        # shift down the row axis by d (elements from i-d), pad with BIG
         pad = [(0, 0)] * (v.ndim - 1) + [(d, 0)]
-        sv = jnp.pad(v, pad, constant_values=1 << 28)[..., :R]
+        sv = jnp.pad(v, pad, constant_values=BIG)[..., :R]
         sm = jnp.pad(matches, pad)[..., :R]
         so = jnp.pad(origin, pad)[..., :R]
         take = sv < v  # strictly cheaper only: tie keeps the later (current)
@@ -92,6 +92,15 @@ def _prefix_min_scan(v, matches, origin):
     return v, matches, origin
 
 
+def _onehot_lookup(table_bar, idx_ba):
+    """table [1, A, R] x idx [B, A] -> [B, A] via one-hot reduce (no
+    gather)."""
+    R = table_bar.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+    oh = (iota == idx_ba[:, :, None])
+    return jnp.sum(jnp.where(oh, table_bar, 0), axis=2)
+
+
 @functools.partial(jax.jit, static_argnames=("flags", "min_overlap"))
 def batched_locate(ref_masks, ref_lens, k_table, n_prefix,
                    read_masks, read_lens,
@@ -100,212 +109,232 @@ def batched_locate(ref_masks, ref_lens, k_table, n_prefix,
     """Locate every adapter in every read.
 
     ref_masks [A, M] uint8, ref_lens [A] int32, k_table/n_prefix [A, M+1]
-    int32, read_masks [B, L] uint8, read_lens [B] int32. ``flags`` static
-    (int of spec.Flag combination).
+    int32, read_masks [B, L] uint8, read_lens [B] int32. ``flags`` static.
     """
     start_in_ref = bool(flags & Flag.START_WITHIN_SEQ1)
     start_in_qry = bool(flags & Flag.START_WITHIN_SEQ2)
     stop_in_ref = bool(flags & Flag.STOP_WITHIN_SEQ1)
     stop_in_qry = bool(flags & Flag.STOP_WITHIN_SEQ2)
+    if start_in_ref and stop_in_ref:
+        raise NotImplementedError(
+            "START_WITHIN_SEQ1 + STOP_WITHIN_SEQ1 together are not used "
+            "by any cutadapt adapter type (spec.py) and the snapshot "
+            "evaluation assumes refstart==0 in the final-column scan")
 
     A, M = ref_masks.shape
     B, L = read_masks.shape
-    R = M + 1  # DP rows
+    R = M + 1
 
     ref_masks = ref_masks.astype(jnp.int32)
     read_masks = read_masks.astype(jnp.int32)
     ref_lens = ref_lens.astype(jnp.int32)
     read_lens = read_lens.astype(jnp.int32)
+    k_table = k_table.astype(jnp.int32)[None]        # [1, A, R]
+    n_prefix = n_prefix.astype(jnp.int32)[None]      # [1, A, R]
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)  # [1,1,R]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+    onehot_m = (rows == ref_lens[None, :, None])     # [1, A, R] row-m mask
+
+    # n_prefix at row m, per adapter: [1, A]
+    n_pref_at_m = jnp.sum(jnp.where(onehot_m, n_prefix, 0), axis=2)
 
     # --- initial column (j = 0) -------------------------------------------
     if start_in_ref:
         cost0 = jnp.zeros((B, A, R), jnp.int32)
-        origin0 = -jnp.broadcast_to(rows, (B, A, R))
+        origin0 = jnp.broadcast_to(-rows, (B, A, R))
     else:
         cost0 = jnp.broadcast_to(rows, (B, A, R)).astype(jnp.int32)
         origin0 = jnp.zeros((B, A, R), jnp.int32)
     matches0 = jnp.zeros((B, A, R), jnp.int32)
 
-    # per-adapter candidate row (= adapter length), [1, A]
-    m_row = ref_lens[None, :]
-    lens_b = read_lens[:, None]  # [B, 1]
+    m_row = ref_lens[None, :]                        # [1, A]
+    lens_b = read_lens[:, None]                      # [B, 1]
 
-    # gather helpers ------------------------------------------------------
-    def at_row_m(x):  # x: [B, A, R] -> [B, A] at row ref_lens[a]
-        return jnp.take_along_axis(
-            x, jnp.broadcast_to(m_row[:, :, None], (B, A, 1)), axis=2
-        )[..., 0]
+    def row_m_fields(cost, matches, origin):
+        """Extract row-m values per (b, a) with a masked reduce."""
+        c = jnp.sum(jnp.where(onehot_m, cost, 0), axis=2)
+        mt = jnp.sum(jnp.where(onehot_m, matches, 0), axis=2)
+        og = jnp.sum(jnp.where(onehot_m, origin, 0), axis=2)
+        return c, mt, og
 
-    n_pref_at_m = jnp.take_along_axis(
-        n_prefix, ref_lens[:, None], axis=1)[:, 0][None, :]  # [1, A]
-
-    def eval_row_m(cost, matches, origin, j):
-        """Candidate at row m_a, column j. Returns packed candidate fields."""
-        c = at_row_m(cost)
-        mt = at_row_m(matches)
-        og = at_row_m(origin)
+    def eval_row_m_candidate(c, mt, og, j):
+        """Acceptance test of the row-m candidate at column j (no
+        gathers)."""
         refstart = jnp.maximum(-og, 0)
         length = m_row - refstart
-        # effective length: subtract Ns in ref[refstart:m]
-        n_start = _gather_per_ba(n_prefix, refstart)  # [B, A]
+        n_start = _onehot_lookup(n_prefix, refstart)
         eff = length - (n_pref_at_m - n_start)
-        kmax = _gather_per_ba(k_table, eff)
+        kmax = _onehot_lookup(k_table, jnp.clip(eff, 0, M))
         ok = (length >= min_overlap) & (c <= kmax) & (j <= lens_b)
         if not stop_in_qry:
             ok = ok & (j == lens_b)
-        return ok, mt, c, og, refstart
-
-    def _gather_per_ba(table, idx):
-        # table [A, M+1], idx [B, A] -> [B, A]
-        return jnp.take_along_axis(
-            jnp.broadcast_to(table[None], (B, A, R)), idx[:, :, None], axis=2
-        )[..., 0]
+        return ok
 
     # --- running best -----------------------------------------------------
-    neg1 = jnp.full((B, A), -1, jnp.int32)
-    best = dict(
-        valid=jnp.zeros((B, A), jnp.bool_),
-        matches=neg1, errors=jnp.full((B, A), BIG, jnp.int32),
-        origin=jnp.zeros((B, A), jnp.int32), refstop=jnp.zeros((B, A), jnp.int32),
-        qstop=jnp.zeros((B, A), jnp.int32),
+    best0 = (
+        jnp.zeros((B, A), jnp.bool_),                 # valid
+        jnp.full((B, A), -1, jnp.int32),              # matches
+        jnp.full((B, A), BIG, jnp.int32),             # errors
+        jnp.zeros((B, A), jnp.int32),                 # origin
+        jnp.zeros((B, A), jnp.int32),                 # qstop
     )
 
-    def update_best(best, ok, mt, c, og, refstop, qstop):
-        better = ok & ((mt > best["matches"]) |
-                       ((mt == best["matches"]) & (c < best["errors"])))
+    def update_best(best, ok, mt, c, og, qstop):
+        bvalid, bm, bc, bo, bq = best
+        better = ok & ((mt > bm) | ((mt == bm) & (c < bc)))
         sel = lambda new, old: jnp.where(better, new, old)
-        return dict(
-            valid=best["valid"] | better,
-            matches=sel(mt, best["matches"]), errors=sel(c, best["errors"]),
-            origin=sel(og, best["origin"]), refstop=sel(refstop, best["refstop"]),
-            qstop=sel(qstop, best["qstop"]),
-        )
+        return (bvalid | better, sel(mt, bm), sel(c, bc), sel(og, bo),
+                sel(qstop, bq))
 
-    ok, mt, c, og, refstart = eval_row_m(cost0, matches0, origin0, jnp.int32(0))
-    best = update_best(best, ok, mt, c, og,
-                       jnp.broadcast_to(m_row, (B, A)),
+    c0, m0, o0 = row_m_fields(cost0, matches0, origin0)
+    ok0 = eval_row_m_candidate(c0, m0, o0, jnp.int32(0))
+    best = update_best(best0, ok0, m0, c0, o0,
                        jnp.zeros((B, A), jnp.int32))
 
-    # For the final-column (STOP_WITHIN_SEQ1) scan we need the column state
-    # at j == read_len per read: evaluate all-row candidates each column,
-    # masked by j == len, folding with the *final-column ordering* (rows
-    # ascending). Collected separately, merged after the loop (oracle scans
-    # them after all row-m candidates).
-    fin = dict(
-        valid=jnp.zeros((B, A), jnp.bool_), matches=neg1,
-        errors=jnp.full((B, A), BIG, jnp.int32),
-        origin=jnp.zeros((B, A), jnp.int32),
-        refstop=jnp.zeros((B, A), jnp.int32),
-    )
-
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (B, A, R), 2)
-
-    def eval_final_col(fin, cost, matches, origin, j):
-        # all rows i: refstart = max(-origin,0); length = i - refstart
-        refstart = jnp.maximum(-origin, 0)
-        length = row_ids - refstart
-        n_start = jnp.take_along_axis(
-            jnp.broadcast_to(n_prefix[None], (B, A, R)), refstart, axis=2)
-        n_here = jnp.take_along_axis(
-            jnp.broadcast_to(n_prefix[None], (B, A, R)),
-            jnp.minimum(row_ids, M), axis=2)
-        eff = length - (n_here - n_start)
-        kmax = jnp.take_along_axis(
-            jnp.broadcast_to(k_table[None], (B, A, R)),
-            jnp.clip(eff, 0, M), axis=2)
-        ok = ((length >= min_overlap) & (cost <= kmax)
-              & (row_ids <= ref_lens[None, :, None])
-              & (j == lens_b[:, :, None]))
-        # lexicographic best over rows: (-matches, errors, row) ascending
-        key = jnp.where(
-            ok,
-            ((M - matches) << 16) + (jnp.minimum(cost, (1 << 8) - 1) << 8)
-            + row_ids,
-            BIG)
-        kbest = jnp.min(key, axis=2)
-        ibest = jnp.argmin(key, axis=2).astype(jnp.int32)
-        okb = kbest < BIG
-        g = lambda x: jnp.take_along_axis(x, ibest[:, :, None], axis=2)[..., 0]
-        mt, c, og = g(matches), g(cost), g(origin)
-        better = okb & ((mt > fin["matches"]) |
-                        ((mt == fin["matches"]) & (c < fin["errors"])))
-        sel = lambda new, old: jnp.where(better, new, old)
-        return dict(
-            valid=fin["valid"] | better, matches=sel(mt, fin["matches"]),
-            errors=sel(c, fin["errors"]), origin=sel(og, fin["origin"]),
-            refstop=sel(ibest, fin["refstop"]),
-        )
-
-    if stop_in_ref:
-        fin = eval_final_col(fin, cost0, matches0, origin0, jnp.int32(0))
+    # snapshot of the column state at j == read_len (for STOP_WITHIN_SEQ1)
+    snap0 = (cost0, matches0, origin0)
 
     def body(j, carry):
-        cost, matches, origin, best, fin = carry
-        qc = jax.lax.dynamic_slice_in_dim(read_masks, j - 1, 1, axis=1)  # [B,1]
+        cost, matches, origin, best, snap = carry
+        qc = jax.lax.dynamic_slice_in_dim(read_masks, j - 1, 1, axis=1)
         eq = (ref_masks[None] & qc[:, :, None]) != 0  # [B, A, M]
 
-        # row 0 of new column
         if start_in_qry:
-            r0c, r0m, r0o = jnp.zeros((B, A), jnp.int32), jnp.zeros((B, A), jnp.int32), jnp.full((B, A), j, jnp.int32)
+            r0c = jnp.zeros((B, A), jnp.int32)
+            r0o = jnp.full((B, A), j, jnp.int32)
         else:
-            r0c, r0m, r0o = jnp.full((B, A), j, jnp.int32), jnp.zeros((B, A), jnp.int32), jnp.zeros((B, A), jnp.int32)
+            r0c = jnp.full((B, A), j, jnp.int32)
+            r0o = jnp.zeros((B, A), jnp.int32)
+        r0m = jnp.zeros((B, A), jnp.int32)
 
         diag_c, diag_m, diag_o = cost[..., :M], matches[..., :M], origin[..., :M]
         horiz_c, horiz_m, horiz_o = cost[..., 1:], matches[..., 1:], origin[..., 1:]
 
-        # diagonal candidate
         dc = jnp.where(eq, diag_c, diag_c + 1)
         dm = jnp.where(eq, diag_m + 1, diag_m)
-        do = diag_o
-        # horizontal candidate (consume query char): cost+1
         hc = horiz_c + 1
-        # priority diag <= horiz on tie
         use_h = hc < dc
         cand_c = jnp.where(use_h, hc, dc)
         cand_m = jnp.where(use_h, horiz_m, dm)
-        cand_o = jnp.where(use_h, horiz_o, do)
+        cand_o = jnp.where(use_h, horiz_o, diag_o)
 
-        # assemble rows 0..M then resolve vertical chains via prefix scan
         full_c = jnp.concatenate([r0c[:, :, None], cand_c], axis=2)
         full_m = jnp.concatenate([r0m[:, :, None], cand_m], axis=2)
         full_o = jnp.concatenate([r0o[:, :, None], cand_o], axis=2)
-        v = full_c - row_ids
+        v = full_c - rows
         v, sm, so = _prefix_min_scan(v, full_m, full_o)
-        ncost = v + row_ids
+        ncost = v + rows
         nmatches, norigin = sm, so
 
-        ok, mt, c, og, _ = eval_row_m(ncost, nmatches, norigin, j)
-        best = update_best(best, ok, mt, c, og,
-                           jnp.broadcast_to(m_row, (B, A)),
+        cm, mm, om = row_m_fields(ncost, nmatches, norigin)
+        ok = eval_row_m_candidate(cm, mm, om, j)
+        best = update_best(best, ok, mm, cm, om,
                            jnp.full((B, A), j, jnp.int32))
         if stop_in_ref:
-            fin = eval_final_col(fin, ncost, nmatches, norigin, j)
-        return ncost, nmatches, norigin, best, fin
+            at_end = (j == lens_b)[:, :, None]        # [B, 1, 1]
+            snap = tuple(jnp.where(at_end, new, old)
+                         for new, old in zip((ncost, nmatches, norigin),
+                                             snap))
+        return ncost, nmatches, norigin, best, snap
 
-    cost, matches, origin, best, fin = jax.lax.fori_loop(
-        1, L + 1, body, (cost0, matches0, origin0, best, fin))
+    cost, matches, origin, best, snap = jax.lax.fori_loop(
+        1, L + 1, body, (cost0, matches0, origin0, best, snap0))
+
+    bvalid, bm, bc, bo, bq = best
 
     if stop_in_ref:
-        # final-column candidates come after all row-m candidates
-        better = fin["valid"] & ((fin["matches"] > best["matches"]) |
-                                 ((fin["matches"] == best["matches"]) &
-                                  (fin["errors"] < best["errors"])))
+        # evaluate all-row candidates ONCE on the snapshot (state at
+        # j == read_len; for reads with len == 0 the snapshot is column 0,
+        # matching the oracle's final-column scan on an empty read).
+        scost, smatches, sorigin = snap
+        row_ids = jnp.broadcast_to(rows, (B, A, R))
+        refstart = jnp.maximum(-sorigin, 0)
+        length = row_ids - refstart
+        # refstart == 0 whenever START_WITHIN_SEQ1 is unset, which holds
+        # for every STOP_WITHIN_SEQ1 user in spec.py (BACK/SUFFIX);
+        # combining both flags is rejected below.
+        eff = length - jnp.broadcast_to(n_prefix, (B, A, R))
+        kmax = _ktable_by_eff(k_table, eff, M)
+        okf = ((length >= min_overlap) & (scost <= kmax)
+               & (row_ids <= ref_lens[None, :, None]))
+        key = jnp.where(
+            okf,
+            ((M - smatches) << 16) + (jnp.minimum(scost, 255) << 8)
+            + row_ids,
+            BIG)
+        kbest = jnp.min(key, axis=2)
+        okb = kbest < BIG
+        fm = M - (kbest >> 16)
+        fc = (kbest >> 8) & 255
+        frow = kbest & 255
+        oh = (key == kbest[:, :, None]) & okf
+        # first (smallest-row) argmin == decoded row; origin via one-hot
+        fo = jnp.sum(jnp.where((row_ids == frow[:, :, None]) & oh,
+                               sorigin, 0), axis=2)
+        better = okb & ((fm > bm) | ((fm == bm) & (fc < bc)))
         sel = lambda new, old: jnp.where(better, new, old)
-        best = dict(
-            valid=best["valid"] | better,
-            matches=sel(fin["matches"], best["matches"]),
-            errors=sel(fin["errors"], best["errors"]),
-            origin=sel(fin["origin"], best["origin"]),
-            refstop=sel(fin["refstop"], best["refstop"]),
-            qstop=sel(jnp.broadcast_to(lens_b, (B, A)), best["qstop"]),
-        )
+        bvalid = bvalid | better
+        bm, bc, bo = sel(fm, bm), sel(fc, bc), sel(fo, bo)
+        bq = sel(jnp.broadcast_to(lens_b, (B, A)), bq)
+        brow = jnp.where(better, frow,
+                         jnp.broadcast_to(m_row, (B, A)))
+    else:
+        brow = jnp.broadcast_to(m_row, (B, A))
 
-    og = best["origin"]
     return LocateResult(
-        valid=best["valid"].astype(jnp.int32),
-        matches=best["matches"], errors=best["errors"],
-        refstart=jnp.maximum(-og, 0), refstop=best["refstop"],
-        querystart=jnp.maximum(og, 0), querystop=best["qstop"],
+        valid=bvalid.astype(jnp.int32),
+        matches=bm, errors=bc,
+        refstart=jnp.maximum(-bo, 0), refstop=brow,
+        querystart=jnp.maximum(bo, 0), querystop=bq,
     )
+
+
+def revcomp_masks_device(read_masks, read_lens):
+    """Reverse-complement match-mask rows on device.
+
+    Complement permutes mask bits (A1<->T8, C2<->G4; N16 fixed); reversal
+    of the variable-length prefix is a flip + per-row left-shift. Saves
+    uploading the rc copy of every batch through the (slow) host->device
+    link.
+    """
+    m = read_masks.astype(jnp.int32)
+    comp = (((m & 1) << 3) | ((m & 8) >> 3) | ((m & 2) << 1)
+            | ((m & 4) >> 1) | (m & 16))
+    flipped = jnp.flip(comp, axis=1)
+    L = read_masks.shape[1]
+
+    def shift_row(row, ln):
+        return jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([row, jnp.zeros_like(row)]), L - ln, L)
+
+    out = jax.vmap(shift_row)(flipped, read_lens.astype(jnp.int32))
+    return out.astype(read_masks.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("flags", "min_overlap"))
+def batched_locate_with_rc(ref_masks, ref_lens, k_table, n_prefix,
+                           read_masks, read_lens, flags: int,
+                           min_overlap: int = DEFAULT_MIN_OVERLAP):
+    """Run locate on each read and its reverse complement (the --rc path)
+    with a single host->device upload. Returns (fwd, rc) LocateResults."""
+    rc = revcomp_masks_device(jnp.asarray(read_masks),
+                              jnp.asarray(read_lens))
+    both = jnp.concatenate([jnp.asarray(read_masks), rc], axis=0)
+    lens2 = jnp.concatenate([read_lens, read_lens])
+    res = batched_locate(ref_masks, ref_lens, k_table, n_prefix,
+                         both, lens2, flags, min_overlap)
+    B = read_masks.shape[0]
+    fwd = LocateResult(*[v[:B] for v in res])
+    rcr = LocateResult(*[v[B:] for v in res])
+    return fwd, rcr
+
+
+def _ktable_by_eff(k_table, eff, M):
+    """k_table [1, A, R] looked up at eff [B, A, R] — since k_table rows
+    are the same floor(e*i) sequence for all adapters, clip+identity:
+    floor(e*eff) == k_table[0, 0, eff]; use the monotone identity
+    k_table value at index i equals floor(e*i), so lookup by eff equals
+    building from eff directly is not possible without e... use take
+    along the last axis once (post-loop, acceptable)."""
+    kb = jnp.broadcast_to(k_table, eff.shape[:2] + (k_table.shape[-1],))
+    return jnp.take_along_axis(kb, jnp.clip(eff, 0, M), axis=2)

@@ -59,9 +59,13 @@ def _kernel(mode, W, TI, TJ, N,
     hin0 = 0 if mode == "HW" else 1
     ones = jnp.full((TI, TJ), 0xFFFFFFFF, dtype=jnp.uint32)
     zeros32 = jnp.zeros((TI, TJ), jnp.uint32)
-    for w in range(W):
+
+    def init_w(w, _):
         vp[w] = ones
         vn[w] = zeros32
+        return 0
+
+    jax.lax.fori_loop(0, W, init_w, 0)
     m = mlen_ref[:, 0][:, None]                      # [TI, 1] int32
     score[:, :] = jnp.broadcast_to(m, (TI, TJ))
     best[:, :] = score[:, :]
@@ -73,9 +77,9 @@ def _kernel(mode, W, TI, TJ, N,
     def col(j, _):
         c = texts_ref[j, :][None, :]                 # [1, TJ] int32
         valid = (j + 1) <= nl                        # [1, TJ] bool
-        hin = jnp.full((TI, TJ), hin0, jnp.int32)
-        sc = score[:, :]
-        for w in range(W):
+
+        def word(w, carry):
+            hin, sc = carry
             eq = zeros32
             for ch in range(5):
                 colv = peq_ref[:, w * NCHAN + ch][:, None]   # [TI, 1]
@@ -99,7 +103,10 @@ def _kernel(mode, W, TI, TJ, N,
             Mh = (Mh << 1) | hin_neg
             vp[w] = Mh | ~(Xv | Ph)
             vn[w] = Ph & Xv
-            hin = hout
+            return hout, sc
+
+        hin0v = jnp.full((TI, TJ), hin0, jnp.int32)
+        _, sc = jax.lax.fori_loop(0, W, word, (hin0v, score[:, :]))
         score[:, :] = sc
         if mode != "NW":
             improved = valid & (sc < best[:, :])

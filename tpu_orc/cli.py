@@ -66,6 +66,8 @@ def main(argv=None):
     sp.add_argument("--max", type=int, default=None)
     sp.add_argument("--maxr", type=int, default=10000)
     sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--amb", action="store_true",
+                    help="IUPAC ambiguity calls in consensus (-amb)")
 
     sp = add("clean")
     sp.add_argument("input")
@@ -137,7 +139,7 @@ def main(argv=None):
         from .pipeline.stages import PipelineConfig, stage_sort
         cfg = PipelineConfig(sorter=SorterConfig(
             min_length=args.min, max_length=args.max, max_reads=args.maxr,
-            seed=args.seed))
+            seed=args.seed, ambiguous=args.amb))
         result, path = stage_sort(args.input, args.outdir, args.barcode,
                                   args.prefix, cfg)
         print(json.dumps({"skipped": result.skipped,

@@ -136,12 +136,43 @@ def _homopolymersort(entries: List[Tuple[int, int, int, int]]):
     return out
 
 
+_IUPAC_PAIR = {frozenset((1, 3)): "Y", frozenset((0, 2)): "R",
+               frozenset((0, 1)): "M", frozenset((2, 3)): "K",
+               frozenset((2, 1)): "S", frozenset((0, 3)): "W"}
+
+
+def build_consensus_iupac(read_codes: Sequence[np.ndarray],
+                          thresholds=(0.45, 0.15, 0.5)) -> str:
+    """Ambiguity-calling variant (reference -amb option,
+    degenerate/ambiguity at :259-322): columns whose top base holds 35-65%
+    support and whose top-2 together hold 75-120% emit the IUPAC code of
+    the pair. Returns an ASCII string (may contain IUPAC letters)."""
+    codes, amb = _build_consensus_impl(read_codes, thresholds,
+                                       want_ambiguity=True)
+    out = []
+    for base, code2, is_amb in amb:
+        if is_amb:
+            out.append(_IUPAC_PAIR.get(frozenset((base, code2)),
+                                       encode.decode(
+                                           np.array([base], np.uint8))))
+        else:
+            out.append(encode.decode(np.array([base], np.uint8)))
+    return "".join(out)
+
+
 def build_consensus(read_codes: Sequence[np.ndarray],
                     thresholds=(0.45, 0.15, 0.5)) -> np.ndarray:
     """Reference create_consensus (:358-441): iterative column-majority with
     homopolymer handling. Input: list of code arrays. Output: codes."""
+    return _build_consensus_impl(read_codes, thresholds,
+                                 want_ambiguity=False)[0]
+
+
+def _build_consensus_impl(read_codes: Sequence[np.ndarray],
+                          thresholds=(0.45, 0.15, 0.5),
+                          want_ambiguity: bool = False):
     if not read_codes:
-        return np.zeros(0, dtype=np.uint8)
+        return np.zeros(0, dtype=np.uint8), []
     rl = sorted(read_codes, key=len, reverse=True)
     consensus = np.asarray(rl[0], dtype=np.uint8)
     first_pass_reads = rl[1:]
@@ -164,7 +195,17 @@ def build_consensus(read_codes: Sequence[np.ndarray],
     # final homopolymer decay correction (:398-427), threshold = last (0.5)
     thr = thresholds[-1]
     out: List[int] = []
+    amb: List[tuple] = []  # (base, top2_base, is_ambiguous) per kept column
     b = 1
+
+    def emit(e):
+        base, cnt, base2, cnt2 = e
+        is_amb = (want_ambiguity and base2 >= 0 and base < 4 and base2 < 4
+                  and c * 0.35 <= cnt <= c * 0.65
+                  and c * 0.75 < cnt + cnt2 < c * 1.2)
+        out.append(base)
+        amb.append((base, base2, is_amb))
+
     for n, e in enumerate(entries):
         prev = entries[n - 1]  # n==0 wraps to last entry, as in the original
         base, cnt = e[0], e[1]
@@ -172,24 +213,24 @@ def build_consensus(read_codes: Sequence[np.ndarray],
             if base in (0, 3):  # A or T
                 if b >= 4:
                     if cnt > c * 0.2:
-                        out.append(base); b += 1
+                        emit(e); b += 1
                 else:
                     if cnt > c * thr:
-                        out.append(base); b += 1
+                        emit(e); b += 1
             elif base in (1, 2):  # C or G
                 if b >= 3:
                     if prev[1] * 0.5 < cnt and cnt > c * 0.2:
-                        out.append(base); b += 1
+                        emit(e); b += 1
                 else:
                     if cnt > c * thr:
-                        out.append(base); b += 1
+                        emit(e); b += 1
             else:  # N runs: treat as plain threshold
                 if cnt > c * thr:
-                    out.append(base)
+                    emit(e)
         else:
             if cnt > c * thr:
-                out.append(base); b = 1
-    return np.asarray(out, dtype=np.uint8)
+                emit(e); b = 1
+    return np.asarray(out, dtype=np.uint8), amb
 
 
 def consensus_direction(code_list: List[np.ndarray]) -> List[np.ndarray]:

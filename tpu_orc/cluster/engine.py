@@ -31,7 +31,8 @@ import numpy as np
 from .. import native
 from ..io import encode
 from ..io.fastq import Record
-from .consensus import build_consensus, consensus_direction
+from .consensus import (build_consensus, build_consensus_iupac,
+                        consensus_direction)
 from .scoring import DeviceScorer, PairHits
 from .unionfind import UnionFind
 
@@ -54,6 +55,7 @@ class SorterConfig:
     # finetune purity cut (reference hardcodes 0.95, :926,:942 — assumes
     # Q10+ reads at >=95% accuracy; lower for noisier chemistry)
     finetune_identity: float = 0.95
+    ambiguous: bool = False          # -amb: IUPAC ambiguity calls
 
 
 @dataclass
@@ -193,6 +195,8 @@ class AmpliconSorter:
             mem = sorted(self.rng.choice(len(mem), sample_n, replace=False))
             mem = [members[k] for k in mem]
         codes = consensus_direction([self.codes[i] for i in mem])
+        if self.cfg.ambiguous:
+            return build_consensus_iupac(codes)
         return encode.decode(build_consensus(codes))
 
     def _hw_sim(self, a: str, b: str) -> float:

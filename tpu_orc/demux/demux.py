@@ -31,7 +31,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..align.batched import batched_locate
+from ..align.batched import batched_locate, batched_locate_with_rc
 from ..align.spec import FRONT, BACK, DEFAULT_MIN_OVERLAP
 from ..io import encode
 from ..io.fastq import Record, write_records
@@ -98,11 +98,16 @@ def assign_reads(records: Sequence[Record], bank: AdapterBank, where: str,
         chunk = records[start:start + batch_size]
         fwd_seqs = [r.seq.upper() for r in chunk]
         if rc:
-            rc_seqs = [encode.revcomp(s) for s in fwd_seqs]
-            res = locate_batch(bank, fwd_seqs + rc_seqs, flags, min_overlap)
-            n = len(chunk)
-            f_idx, f_m, f_qs, f_qe = _best_per_read(_slice_res(res, 0, n))
-            r_idx, r_m, r_qs, r_qe = _best_per_read(_slice_res(res, n, 2 * n))
+            # rc copies are generated on device (single upload per batch)
+            L = _bucket_pad(max((len(s) for s in fwd_seqs), default=1))
+            masks, lens = encode.pack_batch(
+                fwd_seqs, max_len=L, pad_multiple=1,
+                encoder=encode.encode_read_masks, pad_value=0)
+            fres, rres = batched_locate_with_rc(
+                bank.masks, bank.lens, bank.k_table, bank.n_prefix,
+                masks, lens, int(flags), min_overlap)
+            f_idx, f_m, f_qs, f_qe = _best_per_read(fres)
+            r_idx, r_m, r_qs, r_qe = _best_per_read(rres)
         else:
             res = locate_batch(bank, fwd_seqs, flags, min_overlap)
             f_idx, f_m, f_qs, f_qe = _best_per_read(res)

@@ -91,6 +91,12 @@ def encode_read_masks(seq) -> np.ndarray:
     return _READ_MASK_TAB[_as_bytes(seq)]
 
 
+def encode_read_masks_iupac(seq) -> np.ndarray:
+    """ASCII read -> IUPAC-expanded masks (cutadapt --match-read-wildcards:
+    wildcards in the *read* also match)."""
+    return _REF_MASK_TAB[_as_bytes(seq)]
+
+
 def encode_ref_masks(seq) -> np.ndarray:
     """ASCII adapter/primer -> uint8 IUPAC match masks (wildcards expanded)."""
     return _REF_MASK_TAB[_as_bytes(seq)]

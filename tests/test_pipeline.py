@@ -190,3 +190,14 @@ def test_cli_run_all(tmp_path):
     assert rep["demux"]["binned_reads"] == 30
     assert (tmp_path / "out" / "amplicon_summary.tsv").exists()
     assert (tmp_path / "out" / "run_report.json").exists()
+
+
+def test_host_file_shard_partition():
+    from tpu_orc.dist.multihost import host_file_shard
+    paths = [f"bin_{i:02d}.fastq" for i in range(10)]
+    all_assigned = []
+    for pid in range(3):
+        shard = host_file_shard(paths, process_id=pid, num_processes=3)
+        all_assigned += shard
+    assert sorted(all_assigned) == sorted(paths)  # disjoint and complete
+    assert host_file_shard(paths, 0, 3) != host_file_shard(paths, 1, 3)

@@ -111,8 +111,9 @@ def test_noisy_primers_still_classified(reorienter, profiles, rng):
     assert res.stats["pass"] == 1
 
 
-def test_keep_primers_preserves_indices(profiles, rng):
+def test_keep_primers_preserves_indices(profiles):
     """Default mode (-p): indices survive for stage-02 demux."""
+    rng = np.random.default_rng(44)  # hermetic: independent of test order
     sp5, sp27 = profiles
     insert = "".join(rng.choice(list("ACGT"), size=120))
     c5 = concretize(rng, sp5)

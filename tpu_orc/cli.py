@@ -31,7 +31,15 @@ def main(argv=None):
     want = os.environ.get("JAX_PLATFORMS")
     if want:
         import jax
-        jax.config.update("jax_platforms", want)
+        if "cpu" in want:
+            # the CPU request must be re-asserted post-import (the axon
+            # plugin stomps jax_platforms at import time)
+            jax.config.update("jax_platforms", "cpu")
+        else:
+            # a pinned plugin name (e.g. 'axon') can fail to init when the
+            # plugin registers its backend under a different name; let jax
+            # auto-choose the best available accelerator instead
+            jax.config.update("jax_platforms", "")
 
     p = argparse.ArgumentParser(prog="tpu_orc", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -208,5 +216,19 @@ def main(argv=None):
     return 0
 
 
+def _entry():
+    try:
+        return main()
+    except FileNotFoundError as e:
+        print(f"tpu_orc: error: file not found: {e.filename or e}",
+              file=sys.stderr)
+        return 2
+    except ValueError as e:
+        print(f"tpu_orc: error: {e}", file=sys.stderr)
+        return 2
+    except KeyboardInterrupt:
+        return 130
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_entry())

@@ -68,9 +68,18 @@ class DeviceScorer:
         self.pairs_scored = 0  # telemetry for bench
         if backend == "auto":
             import jax
-            backend = "device" if jax.default_backend() not in ("cpu",) \
+            backend = "pallas" if jax.default_backend() not in ("cpu",) \
                 else "native"
         self.backend = backend
+
+    def _tile_distances(self, pat, plens, txt, tlens):
+        """All-vs-all tile dispatch: Pallas kernel on TPU, XLA scan
+        otherwise (identical semantics, parity-tested)."""
+        if self.backend == "pallas":
+            from ..align.pallas_myers import distances_pallas
+            d, _ = distances_pallas(pat, plens, txt, tlens, "NW")
+            return d
+        return myers.distances(pat, plens, txt, tlens, "NW")
 
     # -- all-vs-all within a block (gene stage) ---------------------------
     def allvsall_effective_sims(self, codes_list: Sequence[np.ndarray],
@@ -112,7 +121,7 @@ class DeviceScorer:
                 txt = np.concatenate([packed[b0:b1], packed_rc[b0:b1]])
                 tl = np.concatenate([lens[b0:b1], lens[b0:b1]])
                 txt_p, tl_p = _pad_rows(txt, tl, 2 * T)
-                D = myers.distances(pat, plens, txt_p, tl_p, "NW")
+                D = self._tile_distances(pat, plens, txt_p, tl_p)
                 self.pairs_scored += int(gate.sum()) * 2
                 nb = b1 - b0
                 Df, Dr = D[:, :nb], D[:, nb:2 * nb]  # rc block starts at nb

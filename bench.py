@@ -41,7 +41,7 @@ def main():
     sp27 = AdapterBank.from_fasta(
         f"{REF}/M13_amplicon_indices_reverse_rc.fa", 0.1)
 
-    from tpu_orc.align.batched import batched_locate_with_rc
+    from tpu_orc.demux.demux import locate_fwd_rc
 
     rng = np.random.default_rng(0)
     B = 2048
@@ -59,17 +59,13 @@ def main():
         masks, lens = encode.pack_batch(
             reads, max_len=512, pad_multiple=1,
             encoder=encode.encode_read_masks, pad_value=0)
-        f, r = batched_locate_with_rc(sp5.masks, sp5.lens, sp5.k_table,
-                                      sp5.n_prefix, masks, lens,
-                                      int(FRONT))
+        f, r = locate_fwd_rc(sp5, masks, lens, FRONT)
         _, _, _, qe = _best_per_read(f)
         trimmed = [s[int(e):] for s, e in zip(reads, qe)]
         m2, l2 = encode.pack_batch(
             trimmed, max_len=512, pad_multiple=1,
             encoder=encode.encode_read_masks, pad_value=0)
-        f2, r2 = batched_locate_with_rc(sp27.masks, sp27.lens,
-                                        sp27.k_table, sp27.n_prefix,
-                                        m2, l2, int(BACK))
+        f2, r2 = locate_fwd_rc(sp27, m2, l2, BACK)
         return np.asarray(f2.valid).sum()
 
     device_round()  # warmup/compile

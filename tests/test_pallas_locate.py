@@ -1,0 +1,98 @@
+"""Pallas locate kernel bit-parity vs the Python oracle (interpret mode)."""
+import numpy as np
+import pytest
+
+from tpu_orc.align import FRONT, BACK
+from tpu_orc.align.oracle import locate
+from tpu_orc.align.batched import make_k_table, make_n_prefix
+from tpu_orc.align.pallas_locate import locate_pallas
+from tpu_orc.io import encode
+
+
+def run_both(refs, reads, e, flags, min_overlap=3):
+    A = len(refs)
+    M = max(len(r) for r in refs)
+    ref_masks = np.zeros((A, M), dtype=np.uint8)
+    ref_lens = np.zeros(A, dtype=np.int32)
+    for i, r in enumerate(refs):
+        m = encode.encode_ref_masks(r)
+        ref_masks[i, :len(m)] = m
+        ref_lens[i] = len(m)
+    read_masks, read_lens = encode.pack_batch(
+        reads, pad_multiple=16, encoder=encode.encode_read_masks,
+        pad_value=0)
+    res = locate_pallas(ref_masks, ref_lens,
+                        make_k_table(e, ref_masks, ref_lens),
+                        make_n_prefix(ref_masks),
+                        read_masks, read_lens, int(flags), min_overlap,
+                        interpret=True)
+    mism = []
+    for b, read in enumerate(reads):
+        for a, ref in enumerate(refs):
+            want = locate(ref, read, e, flags, min_overlap)
+            got_valid = bool(res.valid[b, a])
+            if want is None:
+                if got_valid:
+                    mism.append((b, a, "want None"))
+                continue
+            if not got_valid:
+                mism.append((b, a, want.astuple(), "got None"))
+                continue
+            got = (int(res.refstart[b, a]), int(res.refstop[b, a]),
+                   int(res.querystart[b, a]), int(res.querystop[b, a]),
+                   int(res.matches[b, a]), int(res.errors[b, a]))
+            if got != want.astuple():
+                mism.append((b, a, want.astuple(), got))
+    return mism
+
+
+@pytest.mark.parametrize("flags", [FRONT, BACK], ids=["FRONT", "BACK"])
+@pytest.mark.parametrize("e", [0.0, 0.1, 0.2])
+def test_pallas_locate_random_parity(flags, e):
+    rng = np.random.default_rng(9)
+    refs = ["".join(rng.choice(list("ACGT"), size=int(rng.integers(4, 14))))
+            for _ in range(5)]
+    reads = ["".join(rng.choice(list("ACGT"), size=int(rng.integers(0, 40))))
+             for _ in range(10)]
+    mism = run_both(refs, reads, e, flags)
+    assert not mism, mism[:5]
+
+
+@pytest.mark.parametrize("flags", [FRONT, BACK], ids=["FRONT", "BACK"])
+def test_pallas_locate_real_adapters(flags):
+    rng = np.random.default_rng(10)
+    from tpu_orc.io.fastq import read_fasta
+    REF = "/root/reference/adapters_primers"
+    path = (f"{REF}/M13_amplicon_indices_forward.fa" if flags is FRONT
+            else f"{REF}/M13_amplicon_indices_reverse_rc.fa")
+    refs = [r.seq for r in read_fasta(path)][:4]
+    reads = []
+    for i in range(8):
+        ad = list(refs[i % 4])
+        for _ in range(int(rng.integers(0, 5))):
+            op = int(rng.integers(0, 3))
+            pos = int(rng.integers(0, len(ad)))
+            if op == 0:
+                ad[pos] = str(rng.choice(list("ACGT")))
+            elif op == 1 and len(ad) > 1:
+                del ad[pos]
+            else:
+                ad.insert(pos, str(rng.choice(list("ACGT"))))
+        insert = "".join(rng.choice(list("ACGT"), size=80))
+        if flags is FRONT:
+            reads.append("".join(ad) + insert)
+        else:
+            reads.append(insert + "".join(ad))
+    mism = run_both(refs, reads, 0.1, flags)
+    assert not mism, mism[:5]
+
+
+def test_pallas_locate_iupac_primers():
+    rng = np.random.default_rng(11)
+    refs = ["TNTCNACNAAYCAYAARGAYATTGG", "ACGTNNNNNACGT"]
+    reads = ["".join(rng.choice(list("ACGTN"),
+                                size=int(rng.integers(10, 60))))
+             for _ in range(8)]
+    for flags in (FRONT, BACK):
+        mism = run_both(refs, reads, 0.2, flags)
+        assert not mism, (flags, mism[:5])

@@ -1,0 +1,276 @@
+"""Pallas TPU kernel: cutadapt-equivalent locate over [reads x adapters].
+
+The XLA implementation (align/batched.py) spends ~60 full-tensor passes
+per DP column through HLO ops with an awkward [B, A, R] layout (R=60 is
+not lane-aligned). This kernel pins the layout for the VPU:
+
+* state lives in VMEM as [Ap, Rp, TB] int32 — adapters (padded to Ap) on
+  the leading axis, DP rows on sublanes (Rp=64), a 128-read tile on
+  lanes;
+* the intra-column Kogge-Stone (min,+) scan runs along the sublane axis
+  via pltpu.roll with an index guard;
+* row-m candidate fields use one-hot masked reductions (no gathers);
+  error-budget thresholds are host-precomputed per (adapter, row) —
+  for BACK they are compile-time constants (refstart is always 0), for
+  FRONT a runtime one-hot lookup keyed on refstart remains;
+* the STOP_WITHIN_SEQ1 (BACK) final-column candidates are captured via a
+  j==len snapshot and reduced once after the column loop.
+
+Supported modes: FRONT and BACK (the demux hot paths). Other flag
+combinations fall back to align/batched.py. Semantics are bit-identical
+to the oracle; enforced by tests/test_pallas_locate.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .spec import FRONT, BACK, DEFAULT_MIN_OVERLAP
+
+BIG = 1 << 28
+RP = 64      # padded DP rows (adapter length <= 63)
+TB = 128     # reads per tile
+
+
+def _kernel(mode_front: bool, min_overlap: int, Ap: int, L: int,
+            ref_ref, npre_ref, ktab_ref, kfin_ref, onem_ref, mrow_ref,
+            kconst_ref, reads_ref, lens_ref,
+            out_m, out_c, out_o, out_q, out_v, out_r,
+            cost, matches, origin, sc, sm, so):
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (Ap, RP, TB), 1)
+    lens = lens_ref[0, :][None, :]                  # [1, TB]
+    mrow = mrow_ref[:, 0][:, None]                  # [Ap, 1]
+    onem = onem_ref[...][:, :, None] != 0           # [Ap, RP, 1]
+    npre = npre_ref[...][:, :, None]
+    refm = ref_ref[...][:, :, None]                 # row i = adapter char i-1
+
+    if mode_front:  # free ref-prefix skip: cost 0, origin -i
+        cost[...] = jnp.zeros((Ap, RP, TB), jnp.int32)
+        origin[...] = -rows3
+    else:           # pay deletions: cost i
+        cost[...] = rows3
+        origin[...] = jnp.zeros((Ap, RP, TB), jnp.int32)
+    matches[...] = jnp.zeros((Ap, RP, TB), jnp.int32)
+    sc[...] = cost[...]
+    sm[...] = matches[...]
+    so[...] = origin[...]
+
+    n_pref_at_m = jnp.sum(jnp.where(onem, npre, 0), axis=1)  # [Ap, TB]->bc
+
+    def row_m_eval(j, cst, mat, org):
+        cm = jnp.sum(jnp.where(onem, cst, 0), axis=1)   # [Ap, TB]
+        mm = jnp.sum(jnp.where(onem, mat, 0), axis=1)
+        om = jnp.sum(jnp.where(onem, org, 0), axis=1)
+        if mode_front:
+            refstart = jnp.maximum(-om, 0)
+            length = mrow - refstart
+            oh_rs = rows3 == refstart[:, None, :]
+            n_start = jnp.sum(jnp.where(oh_rs, npre, 0), axis=1)
+            eff = length - (n_pref_at_m - n_start)
+            oh_eff = rows3 == jnp.clip(eff, 0, RP - 1)[:, None, :]
+            kmax = jnp.sum(jnp.where(oh_eff, ktab_ref[...][:, :, None], 0),
+                           axis=1)
+        else:
+            length = jnp.broadcast_to(mrow, cm.shape)
+            kmax = jnp.broadcast_to(kconst_ref[:, 0][:, None], cm.shape)
+        ok = (length >= min_overlap) & (cm <= kmax) & (j <= lens)
+        return ok, mm, cm, om
+
+    out_v[...] = jnp.zeros((Ap, TB), jnp.int32)
+    out_m[...] = jnp.full((Ap, TB), -1, jnp.int32)
+    out_c[...] = jnp.full((Ap, TB), BIG, jnp.int32)
+    out_o[...] = jnp.zeros((Ap, TB), jnp.int32)
+    out_q[...] = jnp.zeros((Ap, TB), jnp.int32)
+    out_r[...] = jnp.broadcast_to(mrow, (Ap, TB))
+
+    def update_best(ok, mm, cm, om, qstop):
+        better = ok & ((mm > out_m[...]) |
+                       ((mm == out_m[...]) & (cm < out_c[...])))
+        out_v[...] = jnp.where(better, 1, out_v[...])
+        out_m[...] = jnp.where(better, mm, out_m[...])
+        out_c[...] = jnp.where(better, cm, out_c[...])
+        out_o[...] = jnp.where(better, om, out_o[...])
+        out_q[...] = jnp.where(better, qstop, out_q[...])
+
+    ok0, mm0, cm0, om0 = row_m_eval(jnp.int32(0), cost[...], matches[...],
+                                    origin[...])
+    update_best(ok0, mm0, cm0, om0, jnp.zeros((Ap, TB), jnp.int32))
+
+    def col(j, _):
+        qc = reads_ref[j - 1, :][None, None, :]      # [1, 1, TB]
+        eq = (refm & qc) != 0
+        pc, pm, po = cost[...], matches[...], origin[...]
+        diag_c = pltpu.roll(pc, 1, 1)
+        diag_m = pltpu.roll(pm, 1, 1)
+        diag_o = pltpu.roll(po, 1, 1)
+        dc = jnp.where(eq, diag_c, diag_c + 1)
+        dm = jnp.where(eq, diag_m + 1, diag_m)
+        hc = pc + 1
+        use_h = hc < dc
+        cand_c = jnp.where(use_h, hc, dc)
+        cand_m = jnp.where(use_h, pm, dm)
+        cand_o = jnp.where(use_h, po, diag_o)
+        # row 0: both FRONT and BACK have START_WITHIN_SEQ2 -> (0, 0, j)
+        is0 = rows3 == 0
+        jfull = jnp.broadcast_to(j, (Ap, RP, TB)).astype(jnp.int32)
+        cand_c = jnp.where(is0, 0, cand_c)
+        cand_m = jnp.where(is0, 0, cand_m)
+        cand_o = jnp.where(is0, jfull, cand_o)
+        # Kogge-Stone (min,+) along rows, tie -> larger index
+        v = cand_c - rows3
+        m_ = cand_m
+        o_ = cand_o
+        d = 1
+        while d < RP:
+            svv = pltpu.roll(v, d, 1)
+            smm = pltpu.roll(m_, d, 1)
+            soo = pltpu.roll(o_, d, 1)
+            take = (rows3 >= d) & (svv < v)
+            v = jnp.where(take, svv, v)
+            m_ = jnp.where(take, smm, m_)
+            o_ = jnp.where(take, soo, o_)
+            d *= 2
+        ncost = v + rows3
+        cost[...] = ncost
+        matches[...] = m_
+        origin[...] = o_
+
+        ok, mm, cm, om = row_m_eval(j, ncost, m_, o_)
+        update_best(ok, mm, cm, om,
+                    jnp.broadcast_to(j, (Ap, TB)).astype(jnp.int32))
+        if not mode_front:
+            at_end = j == lens[:, None, :]           # [1, 1, TB]
+            sc[...] = jnp.where(at_end, ncost, sc[...])
+            sm[...] = jnp.where(at_end, m_, sm[...])
+            so[...] = jnp.where(at_end, o_, so[...])
+        return 0
+
+    jax.lax.fori_loop(1, L + 1, col, 0)
+
+    if not mode_front:
+        # final-column candidates from the snapshot; thresholds kfin are
+        # per-(adapter,row) constants (refstart == 0 for BACK)
+        okf = ((rows3 >= min_overlap)
+               & (sc[...] <= kfin_ref[...][:, :, None])
+               & (rows3 <= mrow[..., None]))
+        key = jnp.where(okf,
+                        ((RP - sm[...]) << 16)
+                        + (jnp.minimum(sc[...], 255) << 8) + rows3,
+                        BIG)
+        kbest = jnp.min(key, axis=1)                 # [Ap, TB]
+        okb = kbest < BIG
+        fm = RP - (kbest >> 16)
+        fc = (kbest >> 8) & 255
+        frow = kbest & 255
+        oh = (key == kbest[:, None, :]) & okf
+        fo = jnp.sum(jnp.where((rows3 == frow[:, None, :]) & oh, so[...],
+                               0), axis=1)
+        better = okb & ((fm > out_m[...]) |
+                        ((fm == out_m[...]) & (fc < out_c[...])))
+        out_v[...] = jnp.where(better, 1, out_v[...])
+        out_m[...] = jnp.where(better, fm, out_m[...])
+        out_c[...] = jnp.where(better, fc, out_c[...])
+        out_o[...] = jnp.where(better, fo, out_o[...])
+        out_q[...] = jnp.where(better, jnp.broadcast_to(lens, (Ap, TB)),
+                               out_q[...])
+        out_r[...] = jnp.where(better, frow, out_r[...])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mode_front", "min_overlap", "Ap", "L",
+                                    "interpret"))
+def locate_tiles(ref, npre, ktab, kfin, onem, mrow, kconst, reads_T, lens,
+                 mode_front: bool, min_overlap: int, Ap: int, L: int,
+                 interpret: bool = False):
+    """reads_T [L, B] int32, lens [1, B]; B % TB == 0. Returns 6 arrays
+    [Ap, B]: matches, errors, origin, qstop, valid, refstop-row."""
+    B = reads_T.shape[1]
+    grid = (B // TB,)
+    kernel = functools.partial(_kernel, mode_front, min_overlap, Ap, L)
+    const_spec = pl.BlockSpec((Ap, RP), lambda b: (0, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            const_spec, const_spec, const_spec, const_spec, const_spec,
+            pl.BlockSpec((Ap, 1), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ap, 1), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, TB), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((Ap, TB), lambda b: (0, b),
+                                memory_space=pltpu.VMEM)] * 6,
+        out_shape=[jax.ShapeDtypeStruct((Ap, B), jnp.int32)] * 6,
+        scratch_shapes=[pltpu.VMEM((Ap, RP, TB), jnp.int32)] * 6,
+        interpret=interpret,
+    )(ref, npre, ktab, kfin, onem, mrow, kconst, reads_T, lens)
+
+
+def locate_pallas(bank_masks: np.ndarray, bank_lens: np.ndarray,
+                  k_table: np.ndarray, n_prefix: np.ndarray,
+                  read_masks: np.ndarray, read_lens: np.ndarray,
+                  flags: int, min_overlap: int = DEFAULT_MIN_OVERLAP,
+                  interpret: bool = False):
+    """Host wrapper producing batched_locate-compatible LocateResult
+    fields as numpy arrays [B, A]. FRONT/BACK only."""
+    from .batched import LocateResult
+    if int(flags) == int(FRONT):
+        mode_front = True
+    elif int(flags) == int(BACK):
+        mode_front = False
+    else:
+        raise ValueError("pallas locate supports FRONT/BACK only")
+    A, M = bank_masks.shape
+    if M >= RP:
+        raise ValueError(f"adapter length {M} >= RP-1 ({RP - 1})")
+    Ap = max(8, -(-A // 8) * 8)
+    B0, L = read_masks.shape
+    B = -(-B0 // TB) * TB
+    k_table = np.asarray(k_table)
+    n_prefix = np.asarray(n_prefix)
+    ref = np.zeros((Ap, RP), np.int32)
+    ref[:A, 1:M + 1] = bank_masks
+    npre = np.zeros((Ap, RP), np.int32)
+    npre[:A, :M + 1] = n_prefix
+    ktab = np.full((Ap, RP), -1, np.int32)
+    ktab[:A, :M + 1] = k_table
+    # BACK final-column thresholds: kfin[a, row] = k_table[a, row - npre]
+    kfin = np.full((Ap, RP), -1, np.int32)
+    for a in range(A):
+        for row in range(M + 1):
+            eff = row - int(n_prefix[a, row])
+            kfin[a, row] = k_table[a, max(0, min(eff, M))]
+    onem = np.zeros((Ap, RP), np.int32)
+    onem[np.arange(A), bank_lens] = 1
+    mrow = np.ones((Ap, 1), np.int32)
+    mrow[:A, 0] = bank_lens
+    # BACK row-m threshold constants: k_table[a, m - npre[m]]
+    kconst = np.full((Ap, 1), -1, np.int32)
+    for a in range(A):
+        m = int(bank_lens[a])
+        kconst[a, 0] = k_table[a, max(0, m - int(n_prefix[a, m]))]
+    reads_T = np.zeros((L, B), np.int32)
+    reads_T[:, :B0] = read_masks.T
+    lens = np.zeros((1, B), np.int32)
+    lens[0, :B0] = read_lens
+    m, c, o, q, v, r = locate_tiles(
+        jnp.asarray(ref), jnp.asarray(npre), jnp.asarray(ktab),
+        jnp.asarray(kfin), jnp.asarray(onem), jnp.asarray(mrow),
+        jnp.asarray(kconst), jnp.asarray(reads_T), jnp.asarray(lens),
+        mode_front, min_overlap, Ap, L, interpret)
+    tr = lambda x: np.asarray(x)[:A, :B0].T
+    bo = tr(o)
+    return LocateResult(
+        valid=tr(v), matches=tr(m), errors=tr(c),
+        refstart=np.maximum(-bo, 0), refstop=tr(r),
+        querystart=np.maximum(bo, 0), querystop=tr(q))

@@ -73,6 +73,41 @@ def _bucket_pad(n: int) -> int:
     return encode.pad_to(n, 8192)
 
 
+def _use_pallas(bank: AdapterBank, flags) -> bool:
+    """Pallas locate on accelerators for FRONT/BACK with adapters < 63 bp;
+    XLA otherwise. TPU_ORC_NO_PALLAS=1 disables (escape hatch)."""
+    import os
+    if os.environ.get("TPU_ORC_NO_PALLAS"):
+        return False
+    if int(flags) not in (int(FRONT), int(BACK)):
+        return False
+    if bank.masks.shape[1] >= 63:
+        return False
+    import jax
+    return jax.default_backend() not in ("cpu",)
+
+
+def locate_fwd_rc(bank: AdapterBank, masks, lens, flags,
+                  min_overlap: int = DEFAULT_MIN_OVERLAP):
+    """(fwd, rc) LocateResults for a packed batch, picking the fastest
+    available backend (Pallas kernel on TPU, XLA scan otherwise)."""
+    if _use_pallas(bank, flags):
+        from ..align.pallas_locate import locate_pallas
+        rc_masks = encode.revcomp_read_masks(masks, lens)
+        both = np.concatenate([masks, rc_masks])
+        lens2 = np.concatenate([lens, lens])
+        res = locate_pallas(bank.masks, bank.lens, bank.k_table,
+                            bank.n_prefix, both, lens2, int(flags),
+                            min_overlap)
+        B = masks.shape[0]
+        fwd = type(res)(*[v[:B] for v in res])
+        rcr = type(res)(*[v[B:] for v in res])
+        return fwd, rcr
+    return batched_locate_with_rc(bank.masks, bank.lens, bank.k_table,
+                                  bank.n_prefix, masks, lens, int(flags),
+                                  min_overlap)
+
+
 def locate_batch(bank: AdapterBank, seqs: Sequence[str], flags,
                  min_overlap: int = DEFAULT_MIN_OVERLAP):
     """Run batched_locate for a list of ASCII reads; returns LocateResult."""
@@ -98,14 +133,12 @@ def assign_reads(records: Sequence[Record], bank: AdapterBank, where: str,
         chunk = records[start:start + batch_size]
         fwd_seqs = [r.seq.upper() for r in chunk]
         if rc:
-            # rc copies are generated on device (single upload per batch)
             L = _bucket_pad(max((len(s) for s in fwd_seqs), default=1))
             masks, lens = encode.pack_batch(
                 fwd_seqs, max_len=L, pad_multiple=1,
                 encoder=encode.encode_read_masks, pad_value=0)
-            fres, rres = batched_locate_with_rc(
-                bank.masks, bank.lens, bank.k_table, bank.n_prefix,
-                masks, lens, int(flags), min_overlap)
+            fres, rres = locate_fwd_rc(bank, masks, lens, flags,
+                                       min_overlap)
             f_idx, f_m, f_qs, f_qe = _best_per_read(fres)
             r_idx, r_m, r_qs, r_qe = _best_per_read(rres)
         else:

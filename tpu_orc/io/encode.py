@@ -91,6 +91,19 @@ def encode_read_masks(seq) -> np.ndarray:
     return _READ_MASK_TAB[_as_bytes(seq)]
 
 
+def revcomp_read_masks(masks: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Reverse-complement packed match-mask rows [B, L] (vectorized host
+    equivalent of align.batched.revcomp_masks_device)."""
+    m = masks.astype(np.int32)
+    comp = (((m & 1) << 3) | ((m & 8) >> 3) | ((m & 2) << 1)
+            | ((m & 4) >> 1) | (m & 16))
+    out = np.zeros_like(masks)
+    L = masks.shape[1]
+    for i, n in enumerate(np.asarray(lens)):
+        out[i, :n] = comp[i, :n][::-1]
+    return out
+
+
 def encode_read_masks_iupac(seq) -> np.ndarray:
     """ASCII read -> IUPAC-expanded masks (cutadapt --match-read-wildcards:
     wildcards in the *read* also match)."""

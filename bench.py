@@ -29,10 +29,11 @@ import numpy as np
 def main():
     import jax
     from tpu_orc.demux.adapters import AdapterBank
-    from tpu_orc.demux.demux import locate_batch, _best_per_read
+    from tpu_orc.demux.fused import FusedDemux
     from tpu_orc.align.spec import FRONT, BACK
     from tpu_orc.align import myers
     from tpu_orc.io import encode
+    from tpu_orc.io.fastq import Record
     from tpu_orc import native
 
     REF = "/root/reference/adapters_primers"
@@ -40,8 +41,6 @@ def main():
                                  0.1)
     sp27 = AdapterBank.from_fasta(
         f"{REF}/M13_amplicon_indices_reverse_rc.fa", 0.1)
-
-    from tpu_orc.demux.demux import locate_fwd_rc
 
     rng = np.random.default_rng(0)
     B = 2048
@@ -52,22 +51,14 @@ def main():
         if i % 2:
             s = encode.revcomp(s)
         reads.append(s)
+    recs = [Record(f"r{i}", f"r{i}", s, "I" * len(s))
+            for i, s in enumerate(reads)]
 
-    # --- device: dual-round scoring (round1 FRONT + round2 BACK, --rc
-    # generated on device; one upload per round)
-    def device_round():
-        masks, lens = encode.pack_batch(
-            reads, max_len=512, pad_multiple=1,
-            encoder=encode.encode_read_masks, pad_value=0)
-        f, r = locate_fwd_rc(sp5, masks, lens, FRONT)
-        _, _, _, qe = _best_per_read(f)
-        trimmed = [s[int(e):] for s, e in zip(reads, qe)]
-        m2, l2 = encode.pack_batch(
-            trimmed, max_len=512, pad_multiple=1,
-            encoder=encode.encode_read_masks, pad_value=0)
-        f2, r2 = locate_fwd_rc(sp27, m2, l2, BACK)
-        return np.asarray(f2.valid).sum()
-
+    # --- device: fused dual-round demux (one upload; rc, round-1 FRONT,
+    # on-device trim, round-2 BACK all in one device program), including
+    # host packing and output-read materialization
+    fd = FusedDemux(sp5, sp27)
+    device_round = lambda: fd.assign(recs, batch_size=B, max_len=512)
     device_round()  # warmup/compile
     t0 = time.time()
     reps = 3

@@ -10,11 +10,13 @@ not lane-aligned). This kernel pins the layout for the VPU:
 * the intra-column Kogge-Stone (min,+) scan runs along the sublane axis
   via pltpu.roll with an index guard;
 * row-m candidate fields use one-hot masked reductions (no gathers);
-  error-budget thresholds are host-precomputed per (adapter, row) —
-  for BACK they are compile-time constants (refstart is always 0), for
-  FRONT a runtime one-hot lookup keyed on refstart remains;
+  error-budget thresholds (including the min-overlap rule) are baked
+  into host-precomputed tables: for FRONT a single one-hot lookup keyed
+  on the candidate's refstart (``kbyrs``), for BACK a per-adapter
+  constant (``kconst``); a table value of -1 encodes "never accept";
 * the STOP_WITHIN_SEQ1 (BACK) final-column candidates are captured via a
-  j==len snapshot and reduced once after the column loop.
+  j==len snapshot and reduced once after the column loop against the
+  per-(adapter, row) table ``kfin``.
 
 Supported modes: FRONT and BACK (the demux hot paths). Other flag
 combinations fall back to align/batched.py. Semantics are bit-identical
@@ -37,8 +39,8 @@ RP = 64      # padded DP rows (adapter length <= 63)
 TB = 128     # reads per tile
 
 
-def _kernel(mode_front: bool, min_overlap: int, Ap: int, L: int,
-            ref_ref, npre_ref, ktab_ref, kfin_ref, onem_ref, mrow_ref,
+def _kernel(mode_front: bool, Ap: int, L: int,
+            ref_ref, kbyrs_ref, kfin_ref, onem_ref, mrow_ref,
             kconst_ref, reads_ref, lens_ref,
             out_m, out_c, out_o, out_q, out_v, out_r,
             cost, matches, origin, sc, sm, so):
@@ -46,7 +48,6 @@ def _kernel(mode_front: bool, min_overlap: int, Ap: int, L: int,
     lens = lens_ref[0, :][None, :]                  # [1, TB]
     mrow = mrow_ref[:, 0][:, None]                  # [Ap, 1]
     onem = onem_ref[...][:, :, None] != 0           # [Ap, RP, 1]
-    npre = npre_ref[...][:, :, None]
     refm = ref_ref[...][:, :, None]                 # row i = adapter char i-1
 
     if mode_front:  # free ref-prefix skip: cost 0, origin -i
@@ -60,25 +61,20 @@ def _kernel(mode_front: bool, min_overlap: int, Ap: int, L: int,
     sm[...] = matches[...]
     so[...] = origin[...]
 
-    n_pref_at_m = jnp.sum(jnp.where(onem, npre, 0), axis=1)  # [Ap, TB]->bc
-
     def row_m_eval(j, cst, mat, org):
         cm = jnp.sum(jnp.where(onem, cst, 0), axis=1)   # [Ap, TB]
         mm = jnp.sum(jnp.where(onem, mat, 0), axis=1)
         om = jnp.sum(jnp.where(onem, org, 0), axis=1)
         if mode_front:
+            # kbyrs[a, refstart] bakes floor(e*eff) and min-overlap (-1
+            # encodes reject); single one-hot lookup keyed on refstart.
             refstart = jnp.maximum(-om, 0)
-            length = mrow - refstart
             oh_rs = rows3 == refstart[:, None, :]
-            n_start = jnp.sum(jnp.where(oh_rs, npre, 0), axis=1)
-            eff = length - (n_pref_at_m - n_start)
-            oh_eff = rows3 == jnp.clip(eff, 0, RP - 1)[:, None, :]
-            kmax = jnp.sum(jnp.where(oh_eff, ktab_ref[...][:, :, None], 0),
+            kmax = jnp.sum(jnp.where(oh_rs, kbyrs_ref[...][:, :, None], 0),
                            axis=1)
         else:
-            length = jnp.broadcast_to(mrow, cm.shape)
             kmax = jnp.broadcast_to(kconst_ref[:, 0][:, None], cm.shape)
-        ok = (length >= min_overlap) & (cm <= kmax) & (j <= lens)
+        ok = (cm <= kmax) & (j <= lens)
         return ok, mm, cm, om
 
     out_v[...] = jnp.zeros((Ap, TB), jnp.int32)
@@ -154,10 +150,9 @@ def _kernel(mode_front: bool, min_overlap: int, Ap: int, L: int,
 
     if not mode_front:
         # final-column candidates from the snapshot; thresholds kfin are
-        # per-(adapter,row) constants (refstart == 0 for BACK)
-        okf = ((rows3 >= min_overlap)
-               & (sc[...] <= kfin_ref[...][:, :, None])
-               & (rows3 <= mrow[..., None]))
+        # per-(adapter,row) constants (refstart == 0 for BACK) with the
+        # min-overlap and row<=m rules baked in as -1
+        okf = sc[...] <= kfin_ref[...][:, :, None]
         key = jnp.where(okf,
                         ((RP - sm[...]) << 16)
                         + (jnp.minimum(sc[...], 255) << 8) + rows3,
@@ -182,23 +177,22 @@ def _kernel(mode_front: bool, min_overlap: int, Ap: int, L: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mode_front", "min_overlap", "Ap", "L",
-                                    "interpret"))
-def locate_tiles(ref, npre, ktab, kfin, onem, mrow, kconst, reads_T, lens,
-                 mode_front: bool, min_overlap: int, Ap: int, L: int,
+                   static_argnames=("mode_front", "Ap", "L", "interpret"))
+def locate_tiles(ref, kbyrs, kfin, onem, mrow, kconst, reads_T, lens,
+                 mode_front: bool, Ap: int, L: int,
                  interpret: bool = False):
     """reads_T [L, B] int32, lens [1, B]; B % TB == 0. Returns 6 arrays
     [Ap, B]: matches, errors, origin, qstop, valid, refstop-row."""
     B = reads_T.shape[1]
     grid = (B // TB,)
-    kernel = functools.partial(_kernel, mode_front, min_overlap, Ap, L)
+    kernel = functools.partial(_kernel, mode_front, Ap, L)
     const_spec = pl.BlockSpec((Ap, RP), lambda b: (0, 0),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            const_spec, const_spec, const_spec, const_spec, const_spec,
+            const_spec, const_spec, const_spec, const_spec,
             pl.BlockSpec((Ap, 1), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Ap, 1), lambda b: (0, 0),
@@ -213,7 +207,60 @@ def locate_tiles(ref, npre, ktab, kfin, onem, mrow, kconst, reads_T, lens,
         out_shape=[jax.ShapeDtypeStruct((Ap, B), jnp.int32)] * 6,
         scratch_shapes=[pltpu.VMEM((Ap, RP, TB), jnp.int32)] * 6,
         interpret=interpret,
-    )(ref, npre, ktab, kfin, onem, mrow, kconst, reads_T, lens)
+    )(ref, kbyrs, kfin, onem, mrow, kconst, reads_T, lens)
+
+
+class BankTables:
+    """Host-precomputed constant tables for one adapter bank + mode.
+
+    All acceptance rules (error budget floor(e*eff) with N-wildcard
+    corrections, min-overlap) are encoded as int32 thresholds; -1 means
+    "never accept". Fields are numpy, shaped for locate_tiles.
+    """
+
+    def __init__(self, bank_masks, bank_lens, k_table, n_prefix,
+                 mode_front: bool, min_overlap: int):
+        A, M = bank_masks.shape
+        if M >= RP:
+            raise ValueError(f"adapter length {M} >= RP-1 ({RP - 1})")
+        Ap = max(8, -(-A // 8) * 8)
+        k_table = np.asarray(k_table)
+        n_prefix = np.asarray(n_prefix)
+        bank_lens = np.asarray(bank_lens)
+        ref = np.zeros((Ap, RP), np.int32)
+        ref[:A, 1:M + 1] = bank_masks
+        # FRONT row-m thresholds keyed on candidate refstart
+        kbyrs = np.full((Ap, RP), -1, np.int32)
+        # BACK final-column thresholds keyed on row (refstop)
+        kfin = np.full((Ap, RP), -1, np.int32)
+        # BACK row-m threshold constant
+        kconst = np.full((Ap, 1), -1, np.int32)
+        for a in range(A):
+            m = int(bank_lens[a])
+            for rs in range(m + 1):
+                length = m - rs
+                if length < min_overlap:
+                    continue
+                eff = length - int(n_prefix[a, m] - n_prefix[a, rs])
+                kbyrs[a, rs] = k_table[a, max(0, min(eff, M))]
+            for row in range(min_overlap, m + 1):
+                eff = row - int(n_prefix[a, row])
+                kfin[a, row] = k_table[a, max(0, min(eff, M))]
+            if m >= min_overlap:
+                kconst[a, 0] = k_table[a, max(0, m - int(n_prefix[a, m]))]
+        onem = np.zeros((Ap, RP), np.int32)
+        onem[np.arange(A), bank_lens] = 1
+        mrow = np.ones((Ap, 1), np.int32)
+        mrow[:A, 0] = bank_lens
+        self.A, self.Ap, self.M = A, Ap, M
+        self.mode_front = mode_front
+        self.ref, self.kbyrs, self.kfin = ref, kbyrs, kfin
+        self.onem, self.mrow, self.kconst = onem, mrow, kconst
+
+    def arrays(self):
+        return (jnp.asarray(self.ref), jnp.asarray(self.kbyrs),
+                jnp.asarray(self.kfin), jnp.asarray(self.onem),
+                jnp.asarray(self.mrow), jnp.asarray(self.kconst))
 
 
 def locate_pallas(bank_masks: np.ndarray, bank_lens: np.ndarray,
@@ -230,44 +277,18 @@ def locate_pallas(bank_masks: np.ndarray, bank_lens: np.ndarray,
         mode_front = False
     else:
         raise ValueError("pallas locate supports FRONT/BACK only")
-    A, M = bank_masks.shape
-    if M >= RP:
-        raise ValueError(f"adapter length {M} >= RP-1 ({RP - 1})")
-    Ap = max(8, -(-A // 8) * 8)
+    tabs = BankTables(bank_masks, bank_lens, k_table, n_prefix,
+                      mode_front, min_overlap)
+    A, Ap = tabs.A, tabs.Ap
     B0, L = read_masks.shape
     B = -(-B0 // TB) * TB
-    k_table = np.asarray(k_table)
-    n_prefix = np.asarray(n_prefix)
-    ref = np.zeros((Ap, RP), np.int32)
-    ref[:A, 1:M + 1] = bank_masks
-    npre = np.zeros((Ap, RP), np.int32)
-    npre[:A, :M + 1] = n_prefix
-    ktab = np.full((Ap, RP), -1, np.int32)
-    ktab[:A, :M + 1] = k_table
-    # BACK final-column thresholds: kfin[a, row] = k_table[a, row - npre]
-    kfin = np.full((Ap, RP), -1, np.int32)
-    for a in range(A):
-        for row in range(M + 1):
-            eff = row - int(n_prefix[a, row])
-            kfin[a, row] = k_table[a, max(0, min(eff, M))]
-    onem = np.zeros((Ap, RP), np.int32)
-    onem[np.arange(A), bank_lens] = 1
-    mrow = np.ones((Ap, 1), np.int32)
-    mrow[:A, 0] = bank_lens
-    # BACK row-m threshold constants: k_table[a, m - npre[m]]
-    kconst = np.full((Ap, 1), -1, np.int32)
-    for a in range(A):
-        m = int(bank_lens[a])
-        kconst[a, 0] = k_table[a, max(0, m - int(n_prefix[a, m]))]
     reads_T = np.zeros((L, B), np.int32)
     reads_T[:, :B0] = read_masks.T
     lens = np.zeros((1, B), np.int32)
     lens[0, :B0] = read_lens
     m, c, o, q, v, r = locate_tiles(
-        jnp.asarray(ref), jnp.asarray(npre), jnp.asarray(ktab),
-        jnp.asarray(kfin), jnp.asarray(onem), jnp.asarray(mrow),
-        jnp.asarray(kconst), jnp.asarray(reads_T), jnp.asarray(lens),
-        mode_front, min_overlap, Ap, L, interpret)
+        *tabs.arrays(), jnp.asarray(reads_T), jnp.asarray(lens),
+        mode_front, Ap, L, interpret)
     tr = lambda x: np.asarray(x)[:A, :B0].T
     bo = tr(o)
     return LocateResult(

@@ -189,6 +189,32 @@ def bin_reads(assignments: Sequence[Assignment]) -> Dict[str, List[Record]]:
 INVALID_SP27 = ("SP27_009", "SP27_010", "SP27_011", "SP27_012")
 
 
+def _decisions_unfused(records: Sequence[Record], sp5: AdapterBank,
+                       sp27rc: AdapterBank, batch_size: int):
+    """Per-read (sp5_name, trimmed1, sp27_name, final) via two unfused
+    rounds. Round 2 is batched across ALL round-1-assigned reads (the
+    SP27 bank is the same for every SP5 bin, so per-bin batching as in
+    the reference shell loop changes nothing but wastes batches)."""
+    r1 = assign_reads(list(records), sp5, "front", rc=True,
+                      batch_size=batch_size)
+    assigned = [a for a in r1 if a.adapter is not None]
+    r2 = assign_reads([a.trimmed for a in assigned], sp27rc, "back",
+                      rc=True, batch_size=batch_size)
+    it2 = iter(r2)
+    out = []
+    for a in r1:
+        if a.adapter is None:
+            out.append((None, a.trimmed, None, a.trimmed))
+        else:
+            b = next(it2)
+            out.append((a.adapter, a.trimmed, b.adapter, b.trimmed))
+    return out
+
+
+def _use_fused(sp5: AdapterBank, sp27rc: AdapterBank) -> bool:
+    return (_use_pallas(sp5, FRONT) and _use_pallas(sp27rc, BACK))
+
+
 def dual_round_demux(records: Sequence[Record], sp5: AdapterBank,
                      sp27rc: AdapterBank, dataset: str, outdir: str,
                      write: bool = True, fmt: str = "fastq",
@@ -201,28 +227,40 @@ def dual_round_demux(records: Sequence[Record], sp5: AdapterBank,
         <outdir>/SP27/<SP27_yyy>_<SP5_xxx>_<dataset>.fastq.gz
     with *unknown* bins and SP27_009..012 combos removed
     (02_cutadapt_loop.sh:108-118).
+
+    On an accelerator both rounds run fused in one device program
+    (demux/fused.py): a single upload, on-device rc + trim, six small
+    vectors back. Falls back to the two-round XLA path elsewhere.
     """
-    r1 = assign_reads(list(records), sp5, "front", rc=True,
-                      batch_size=batch_size)
-    sp5_bins = bin_reads(r1)
+    records = list(records)
+    if _use_fused(sp5, sp27rc):
+        from .fused import FusedDemux
+        fb = max(batch_size, 2048)  # fused path wants large device batches
+        dec = [(t[1], t[2], t[3], t[4])
+               for t in FusedDemux(sp5, sp27rc).assign(records,
+                                                       batch_size=fb)]
+    else:
+        dec = _decisions_unfused(records, sp5, sp27rc, batch_size)
+
+    sp5_bins: Dict[str, List[Record]] = defaultdict(list)
+    r2_counts: Dict[str, Dict[str, int]] = defaultdict(
+        lambda: defaultdict(int))
+    final_bins: Dict[str, List[Record]] = defaultdict(list)
+    for sp5_name, trimmed1, sp27_name, final in dec:
+        sp5_bins[sp5_name or UNKNOWN].append(trimmed1)
+        if sp5_name is None:
+            continue
+        r2_counts[sp5_name][sp27_name or UNKNOWN] += 1
+        if sp27_name is None or sp27_name in INVALID_SP27:
+            continue
+        final_bins[f"{sp27_name}_{sp5_name}"].append(final)
+
     report = {
         "dataset": dataset,
-        "total_reads": len(r1),
+        "total_reads": len(records),
         "round1": {k: len(v) for k, v in sp5_bins.items()},
-        "round2": {},
+        "round2": {k: dict(v) for k, v in sorted(r2_counts.items())},
     }
-    final_bins: Dict[str, List[Record]] = {}
-    for sp5_name, recs in sorted(sp5_bins.items()):
-        if sp5_name == UNKNOWN:
-            continue
-        r2 = assign_reads(recs, sp27rc, "back", rc=True,
-                          batch_size=batch_size)
-        b2 = bin_reads(r2)
-        report["round2"][sp5_name] = {k: len(v) for k, v in b2.items()}
-        for sp27_name, out_recs in b2.items():
-            if sp27_name == UNKNOWN or sp27_name in INVALID_SP27:
-                continue
-            final_bins[f"{sp27_name}_{sp5_name}"] = out_recs
     report["final_bins"] = {k: len(v) for k, v in sorted(final_bins.items())}
 
     if write:

@@ -81,7 +81,9 @@ def main():
     cpu_rps = (n_cpu / 2) / t_cpu  # fwd+rc of n_cpu/2 reads, both rounds
 
     # --- clustering: device Myers all-vs-all tile vs C++ Myers
-    N, L = 256, 512
+    # (1024 reads ~ the reference's 1000-read all-vs-all blocks,
+    # amplicon_sorter.py:571-623)
+    N, L = 1024, 512
     fam = []
     base = "".join(rng.choice(list("ACGT"), size=480))
     for _ in range(N):
@@ -94,10 +96,15 @@ def main():
     for i, c in enumerate(fam):
         pat[i, :len(c)] = c
         lens[i] = len(c)
-    myers.distances(pat, lens, pat, lens)  # compile
+    if jax.default_backend() == "cpu":
+        tile_fn = lambda: myers.distances(pat, lens, pat, lens)
+    else:  # production scorer path: Pallas kernel, auto-tuned tiles
+        from tpu_orc.align.pallas_myers import distances_pallas
+        tile_fn = lambda: distances_pallas(pat, lens, pat, lens, "NW")
+    tile_fn()  # compile
     t0 = time.time()
     for _ in range(reps):
-        myers.distances(pat, lens, pat, lens)
+        tile_fn()
     t_tile = (time.time() - t0) / reps
     cells = float(N) * N * np.mean(lens) * np.mean(lens)
     tpu_cells = cells / t_tile

@@ -53,7 +53,7 @@ def build_peq_packed(codes: np.ndarray, m_lens: np.ndarray,
     return out
 
 
-def _kernel(mode, W, TI, TJ, N,
+def _kernel(mode, W, TI, TJ, N, unroll,
             peq_ref, mlen_ref, texts_ref, nlen_ref,
             dist_ref, pos_ref, vp, vn, score, best, bpos):
     hin0 = 0 if mode == "HW" else 1
@@ -106,7 +106,15 @@ def _kernel(mode, W, TI, TJ, N,
             return hout, sc
 
         hin0v = jnp.full((TI, TJ), hin0, jnp.int32)
-        _, sc = jax.lax.fori_loop(0, W, word, (hin0v, score[:, :]))
+        if unroll:
+            # static word indices -> static scratch addressing, lets
+            # Mosaic software-pipeline the hin carry chain
+            carry = (hin0v, score[:, :])
+            for w in range(W):
+                carry = word(w, carry)
+            sc = carry[1]
+        else:
+            _, sc = jax.lax.fori_loop(0, W, word, (hin0v, score[:, :]))
         score[:, :] = sc
         if mode != "NW":
             improved = valid & (sc < best[:, :])
@@ -124,10 +132,12 @@ def _kernel(mode, W, TI, TJ, N,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mode", "W", "TI", "TJ", "interpret"))
+                   static_argnames=("mode", "W", "TI", "TJ", "interpret",
+                                    "unroll"))
 def myers_tile_pallas(peq_packed, m_lens, texts_T, n_lens,
                       mode: str = "NW", W: int = 32, TI: int = 128,
-                      TJ: int = 128, interpret: bool = False):
+                      TJ: int = 128, interpret: bool = False,
+                      unroll: bool = True):
     """peq_packed [P, W*NCHAN] uint32, m_lens [P,1] int32,
     texts_T [N, T] int32 (column-major texts), n_lens [1, T] int32.
     P % TI == 0, T % TJ == 0. Returns (dist [P,T] int32, pos [P,T] int32).
@@ -136,7 +146,7 @@ def myers_tile_pallas(peq_packed, m_lens, texts_T, n_lens,
     T = texts_T.shape[1]
     N = texts_T.shape[0]
     grid = (P // TI, T // TJ)
-    kernel = functools.partial(_kernel, mode, W, TI, TJ, N)
+    kernel = functools.partial(_kernel, mode, W, TI, TJ, N, unroll)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -173,13 +183,21 @@ def myers_tile_pallas(peq_packed, m_lens, texts_T, n_lens,
 
 def distances_pallas(patterns_codes: np.ndarray, m_lens: np.ndarray,
                      texts_codes: np.ndarray, n_lens: np.ndarray,
-                     mode: str = "NW", TI: int = 128, TJ: int = 128,
-                     interpret: bool = False):
+                     mode: str = "NW", TI: int | None = None,
+                     TJ: int | None = None,
+                     interpret: bool = False, unroll: bool = True):
     """Host wrapper mirroring align.myers.distances_with_pos, padding to
-    tile multiples."""
+    tile multiples. TI/TJ default to the measured-best tile per word
+    count (v5e sweep, BENCH.md): 64x256 for short reads (W<=24, i.e.
+    <=768 bp), 32x128 for long ones (bounds the [2, W, TI, TJ] uint32
+    scratch VMEM)."""
     P0 = patterns_codes.shape[0]
     T0 = texts_codes.shape[0]
     W = max(1, -(-int(patterns_codes.shape[1]) // WORD))
+    if TI is None:
+        TI = 64 if W <= 24 else 32
+    if TJ is None:
+        TJ = 256 if W <= 24 else 128
     P = -(-P0 // TI) * TI
     T = -(-T0 // TJ) * TJ
     m = np.ones((P, 1), np.int32)
@@ -193,5 +211,5 @@ def distances_pallas(patterns_codes: np.ndarray, m_lens: np.ndarray,
     nl[0, :T0] = np.asarray(n_lens, np.int32)
     d, p = myers_tile_pallas(jnp.asarray(peq), jnp.asarray(m),
                              jnp.asarray(tt), jnp.asarray(nl),
-                             mode, W, TI, TJ, interpret)
+                             mode, W, TI, TJ, interpret, unroll)
     return np.asarray(d)[:P0, :T0], np.asarray(p)[:P0, :T0]

@@ -43,7 +43,7 @@ def main():
         f"{REF}/M13_amplicon_indices_reverse_rc.fa", 0.1)
 
     rng = np.random.default_rng(0)
-    B = 2048
+    B = 8192  # throughput metric: large batches amortize tunnel latency
     reads = []
     for i in range(B):
         ins = "".join(rng.choice(list("ACGT"), size=260))

@@ -105,3 +105,41 @@ def test_clean_primers_end_to_end(tmp_path, rng):
     assert rep.trimmed == 5 and rep.untrimmed == 1
     assert {r.seq for r in clean} == set(inserts)
     assert (tmp_path / "cleaned_t.fasta").exists()
+
+
+def test_match_read_wildcards_on_amb_consensus(rng):
+    """An -amb consensus can carry IUPAC codes inside the primer region;
+    with --match-read-wildcards they count as matches (so the linked trim
+    still fires at e=0.1), without it they count as mismatches."""
+    pairs = parse_primer_pairs(f"{REF}/COI_primers.fa")
+    pa = pairs[0]
+    insert = "".join(rng.choice(list("ACGT"), size=600))
+    fwd = list(concretize(rng, pa.fwd))
+    # plant enough ambiguity codes to bust the error budget when they
+    # are treated as mismatches: floor(0.1 * len) + 1 of them
+    k = int(0.1 * len(fwd)) + 1
+    for pos in range(0, 3 * k, 3):
+        fwd[pos] = {"A": "R", "C": "Y", "G": "R", "T": "Y"}[fwd[pos]]
+    seq = "".join(fwd) + insert + concretize(rng, pa.rev)
+    rec = Record("amb1", "amb1", seq, None)
+
+    t_lit, u_lit = linked_trim([rec], pairs, 0.1,
+                               match_read_wildcards=False)
+    t_wc, u_wc = linked_trim([rec], pairs, 0.1,
+                             match_read_wildcards=True)
+    assert not t_lit and len(u_lit) == 1   # literal: budget exceeded
+    assert len(t_wc) == 1 and not u_wc     # wildcards: full linked trim
+    assert t_wc[0].seq == insert
+
+
+def test_failsafe_wildcards_spot_ambiguous_residual(rng):
+    """Residual-primer failsafe with wildcards: a leftover primer whose
+    ambiguity codes survived into the contig is still detected."""
+    pairs = parse_primer_pairs(f"{REF}/COI_primers.fa")
+    pa = pairs[0]
+    residual = pa.fwd  # keep the degenerate codes verbatim in the contig
+    body = "".join(rng.choice(list("ACGT"), size=300))
+    rec = Record("c1", "c1", residual + body, None)
+    clean_wc, dropped_wc = residual_primer_failsafe(
+        [rec], [pa.fwd], match_read_wildcards=True)
+    assert dropped_wc == ["c1"]

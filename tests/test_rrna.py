@@ -133,3 +133,91 @@ HMM          A        C        G        T
     # match state 1 strongly prefers A
     assert np.argmax(m.match_scores[0]) == 0
     assert np.argmax(m.match_scores[1]) == 1
+
+
+def _hmmer3_record(name: str, acc: str, desc: str, motif: str) -> str:
+    """Emit one realistic HMMER3/f DNA record (nhmmer/barrnap euk.hmm
+    style): full header block, COMPO line, node-0 insert/transition
+    lines, MAP/CONS/RF/MM/CS annotation columns, '*' for the forbidden
+    m->d / d->d at the last node."""
+    import math
+    K = len(motif)
+    nl = lambda p: "      *" if p == 0 else f"{-math.log(p):8.5f}"
+    head = (f"HMMER3/f [3.1b2 | February 2015]\n"
+            f"NAME  {name}\nACC   {acc}\nDESC  {desc}\nLENG  {K}\n"
+            f"MAXL  {K * 2}\nALPH  DNA\nRF    no\nMM    no\nCONS  yes\n"
+            f"CS    no\nMAP   yes\nDATE  Mon Aug 17 00:00:00 2026\n"
+            f"NSEQ  100\nEFFN  12.345678\nCKSUM 1234567890\n"
+            f"STATS LOCAL MSV       -9.0000  0.70000\n"
+            f"STATS LOCAL VITERBI  -10.0000  0.70000\n"
+            f"STATS LOCAL FORWARD   -4.0000  0.70000\n"
+            f"HMM          A        C        G        T\n"
+            f"            m->m     m->i     m->d     i->m     i->i"
+            f"     d->m     d->d\n")
+    bg = " ".join([nl(0.25)] * 4)
+    lines = [f"  COMPO  {bg}", f"         {bg}",
+             f"         {nl(0.98)} {nl(0.01)} {nl(0.01)} {nl(0.6)} "
+             f"{nl(0.4)} {nl(1.0)}       *"]
+    code = {"A": 0, "C": 1, "G": 2, "T": 3}
+    for k, ch in enumerate(motif, start=1):
+        ems = [0.05 / 3] * 4
+        ems[code[ch]] = 0.95
+        em = " ".join(nl(p) for p in ems)
+        lines.append(f"{k:7d}  {em} {k:6d} {ch.lower()} - - -")
+        lines.append(f"         {bg}")
+        if k == K:  # last node: m->d and d->d forbidden
+            lines.append(f"         {nl(0.98)} {nl(0.02)}       * "
+                         f"{nl(0.6)} {nl(0.4)} {nl(1.0)}       *")
+        else:
+            lines.append(f"         {nl(0.96)} {nl(0.02)} {nl(0.02)} "
+                         f"{nl(0.6)} {nl(0.4)} {nl(0.7)} {nl(0.3)}")
+    return head + "\n".join(lines) + "\n//\n"
+
+
+def test_hmmer3_realistic_euk_file(tmp_path, rng):
+    """Multi-model barrnap-euk-style .hmm: both models parse, and the
+    full 05a stage (parse -> device Viterbi both strands -> split into
+    _18S.fa/_28S.fa) recovers planted genes from synthetic contigs."""
+    from tpu_orc.io import encode as enc
+    from tpu_orc.io.fastq import Record
+    from tpu_orc.rrna.extract import extract_rrna
+
+    motif18 = "".join(rng.choice(list("ACGT"), size=120))
+    motif28 = "".join(rng.choice(list("ACGT"), size=160))
+    text = (_hmmer3_record("18S_rRNA", "RF01960",
+                           "Eukaryotic small subunit ribosomal RNA",
+                           motif18)
+            + _hmmer3_record("28S_rRNA", "RF02543",
+                             "Eukaryotic large subunit ribosomal RNA",
+                             motif28))
+    p = tmp_path / "euk.hmm"
+    p.write_text(text)
+
+    models = {m.name: m for m in parse_hmmer3(str(p))}
+    assert set(models) == {"18S_rRNA", "28S_rRNA"}
+    m18 = models["18S_rRNA"]
+    assert m18.K == 120
+    # emission log-odds peak at the motif base in every column
+    got = "".join("ACGT"[i] for i in np.argmax(m18.match_scores, axis=1))
+    assert got == motif18
+
+    # contigs: 18S on + strand, 28S on - strand, one rRNA-free
+    pad = lambda n: "".join(rng.choice(list("ACGT"), size=n))
+    c1 = pad(80) + motif18 + pad(90)
+    c2 = pad(60) + enc.revcomp(motif28) + pad(70)
+    c3 = pad(350)
+    recs = [Record("ct1", "ct1", c1), Record("ct2", "ct2", c2),
+            Record("ct3", "ct3", c3)]
+    hits = extract_rrna(recs, str(tmp_path), "BC07",
+                        profile_18s=m18, profile_28s=models["28S_rRNA"],
+                        min_score=50.0)
+    ids18 = [h.contig_id for h in hits["18S"]]
+    ids28 = [(h.contig_id, h.strand) for h in hits["28S"]]
+    assert ids18 == ["ct1"]
+    assert ids28 == [("ct2", "-")]
+    h = hits["18S"][0]
+    assert h.seq == motif18          # exact planted interval recovered
+    h2 = hits["28S"][0]
+    assert h2.seq == motif28
+    assert (tmp_path / "BC07_18S.fa").exists()
+    assert (tmp_path / "BC07_28S.fa").exists()

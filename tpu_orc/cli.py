@@ -84,6 +84,9 @@ def main(argv=None):
     sp.add_argument("-a", "--amplicon", choices=["COI", "RNA"],
                     required=True)
     sp.add_argument("-e", "--error-rate", type=float, default=0.1)
+    sp.add_argument("--match-read-wildcards", action="store_true",
+                    help="IUPAC codes in contigs match their base set "
+                         "(use with -amb consensus)")
 
     sp = add("rrna")
     sp.add_argument("input")
@@ -157,7 +160,8 @@ def main(argv=None):
                           "consensus": path}))
     elif args.cmd == "clean":
         from .pipeline.stages import PipelineConfig, stage_clean
-        cfg = PipelineConfig(clean_e_rate=args.error_rate)
+        cfg = PipelineConfig(clean_e_rate=args.error_rate,
+                             match_read_wildcards=args.match_read_wildcards)
         clean, rep = stage_clean(args.input, args.outdir, args.barcode,
                                  args.amplicon, cfg)
         print(json.dumps({"total": rep.total, "trimmed": rep.trimmed,

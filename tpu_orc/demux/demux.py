@@ -109,23 +109,30 @@ def locate_fwd_rc(bank: AdapterBank, masks, lens, flags,
 
 
 def locate_batch(bank: AdapterBank, seqs: Sequence[str], flags,
-                 min_overlap: int = DEFAULT_MIN_OVERLAP):
-    """Run batched_locate for a list of ASCII reads; returns LocateResult."""
+                 min_overlap: int = DEFAULT_MIN_OVERLAP,
+                 encoder=encode.encode_read_masks):
+    """Run batched_locate for a list of ASCII reads; returns LocateResult.
+
+    ``encoder=encode.encode_read_masks_iupac`` replicates cutadapt's
+    --match-read-wildcards (IUPAC codes in the *read* match their set;
+    used on -amb consensus contigs in stage 04)."""
     L = _bucket_pad(max((len(s) for s in seqs), default=1))
     masks, lens = encode.pack_batch(
         seqs, max_len=L, pad_multiple=1,
-        encoder=encode.encode_read_masks, pad_value=0)
+        encoder=encoder, pad_value=0)
     return batched_locate(bank.masks, bank.lens, bank.k_table, bank.n_prefix,
                           masks, lens, int(flags), min_overlap)
 
 
 def assign_reads(records: Sequence[Record], bank: AdapterBank, where: str,
                  rc: bool = True, batch_size: int = 256,
-                 min_overlap: int = DEFAULT_MIN_OVERLAP) -> List[Assignment]:
+                 min_overlap: int = DEFAULT_MIN_OVERLAP,
+                 encoder=encode.encode_read_masks) -> List[Assignment]:
     """cutadapt-equivalent single-round demux of ``records``.
 
     where: 'front' (-g, trim adapter + preceding) or 'back' (-a, trim
-    adapter + following). rc=True replicates --rc.
+    adapter + following). rc=True replicates --rc. ``encoder`` as in
+    locate_batch (--match-read-wildcards support).
     """
     flags = FRONT if where == "front" else BACK
     out: List[Assignment] = []
@@ -136,13 +143,14 @@ def assign_reads(records: Sequence[Record], bank: AdapterBank, where: str,
             L = _bucket_pad(max((len(s) for s in fwd_seqs), default=1))
             masks, lens = encode.pack_batch(
                 fwd_seqs, max_len=L, pad_multiple=1,
-                encoder=encode.encode_read_masks, pad_value=0)
+                encoder=encoder, pad_value=0)
             fres, rres = locate_fwd_rc(bank, masks, lens, flags,
                                        min_overlap)
             f_idx, f_m, f_qs, f_qe = _best_per_read(fres)
             r_idx, r_m, r_qs, r_qe = _best_per_read(rres)
         else:
-            res = locate_batch(bank, fwd_seqs, flags, min_overlap)
+            res = locate_batch(bank, fwd_seqs, flags, min_overlap,
+                               encoder)
             f_idx, f_m, f_qs, f_qe = _best_per_read(res)
             r_idx = np.full_like(f_idx, -1)
             r_m = np.full_like(f_m, -1)

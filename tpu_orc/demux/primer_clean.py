@@ -72,14 +72,21 @@ class CleanReport:
 
 
 def linked_trim(records: Sequence[Record], pairs: Sequence[PrimerPair],
-                e: float = 0.1) -> Tuple[List[Record], List[Record]]:
-    """Round-1 linked trimming. Returns (trimmed, untrimmed)."""
+                e: float = 0.1, match_read_wildcards: bool = False
+                ) -> Tuple[List[Record], List[Record]]:
+    """Round-1 linked trimming. Returns (trimmed, untrimmed).
+
+    match_read_wildcards: IUPAC codes in the contig (e.g. from -amb
+    consensus) match their base set (cutadapt --match-read-wildcards)."""
     if not records:
         return [], []
+    enc = (encode.encode_read_masks_iupac if match_read_wildcards
+           else encode.encode_read_masks)
     fwd_bank = AdapterBank.from_pairs(
         [(p.pair_id, p.fwd) for p in pairs], e)
     recs = list(records)
-    res = locate_batch(fwd_bank, [r.seq.upper() for r in recs], FRONT)
+    res = locate_batch(fwd_bank, [r.seq.upper() for r in recs], FRONT,
+                       encoder=enc)
     f_idx, f_m, f_qs, f_qe = _best_per_read(res)
     trimmed: List[Record] = []
     untrimmed: List[Record] = []
@@ -95,7 +102,7 @@ def linked_trim(records: Sequence[Record], pairs: Sequence[PrimerPair],
         rev_bank = AdapterBank.from_pairs(
             [(pairs[pi].pair_id, pairs[pi].rev)], e)
         mids = [r.seq.upper()[cut:] for _, r, cut in items]
-        rres = locate_batch(rev_bank, mids, BACK)
+        rres = locate_batch(rev_bank, mids, BACK, encoder=enc)
         r_idx, r_m, r_qs, r_qe = _best_per_read(rres)
         for (k, r, cut), ok, qs in zip(items, r_idx, r_qs):
             if ok < 0:
@@ -121,10 +128,13 @@ def _iupac_exact_hits(seq_masks: np.ndarray, primer_masks: np.ndarray) -> bool:
 
 def residual_primer_failsafe(records: Sequence[Record],
                              primer_seqs: Sequence[str],
-                             window: int = 100
+                             window: int = 100,
+                             match_read_wildcards: bool = False
                              ) -> Tuple[List[Record], List[str]]:
     """Drop any contig with a degenerate-exact primer hit (either strand)
     within its first/last ``window`` bp (04_cleaning_primers.sh:395-455)."""
+    enc = (encode.encode_read_masks_iupac if match_read_wildcards
+           else encode.encode_read_masks)
     pm = []
     for p in primer_seqs:
         pm.append(encode.encode_ref_masks(p.upper()))
@@ -133,7 +143,7 @@ def residual_primer_failsafe(records: Sequence[Record],
     for r in records:
         s = r.seq.upper()
         ends = [s[:window], s[-window:]] if len(s) > window else [s]
-        sm = [encode.encode_read_masks(e_) for e_ in ends]
+        sm = [enc(e_) for e_ in ends]
         hit = any(_iupac_exact_hits(m, p) for m in sm for p in pm)
         if hit:
             dropped.append(r.id)
@@ -143,19 +153,24 @@ def residual_primer_failsafe(records: Sequence[Record],
 
 
 def unlinked_round2(records: Sequence[Record], pairs: Sequence[PrimerPair],
-                    e: float = 0.1) -> Tuple[List[Record], int]:
+                    e: float = 0.1, match_read_wildcards: bool = False
+                    ) -> Tuple[List[Record], int]:
     """Round 2 (:463-508): independent -g FWD and -a REV trims; neither
     required. Returns (records, n_modified)."""
     if not records:
         return [], 0
+    enc = (encode.encode_read_masks_iupac if match_read_wildcards
+           else encode.encode_read_masks)
     fwd_bank = AdapterBank.from_pairs(
         [(p.pair_id, p.fwd) for p in pairs], e)
     rev_bank = AdapterBank.from_pairs(
         [(p.pair_id, p.rev) for p in pairs], e)
     out = []
     n_mod = 0
-    a1 = assign_reads(list(records), fwd_bank, "front", rc=False)
-    a2 = assign_reads([a.trimmed for a in a1], rev_bank, "back", rc=False)
+    a1 = assign_reads(list(records), fwd_bank, "front", rc=False,
+                      encoder=enc)
+    a2 = assign_reads([a.trimmed for a in a1], rev_bank, "back", rc=False,
+                      encoder=enc)
     for orig, s1, s2 in zip(records, a1, a2):
         rec = s2.trimmed
         if s1.adapter is not None or s2.adapter is not None:
@@ -167,25 +182,34 @@ def unlinked_round2(records: Sequence[Record], pairs: Sequence[PrimerPair],
 def clean_primers(records: Sequence[Record], r1_primer_fasta: str,
                   r2_primer_fasta: Optional[str] = None,
                   outdir: Optional[str] = None, name: str = "sample",
-                  e: float = 0.1, do_round2: bool = True
+                  e: float = 0.1, do_round2: bool = True,
+                  match_read_wildcards: bool = False
                   ) -> Tuple[List[Record], CleanReport]:
-    """Full stage-04 pipeline for one sample's consensus FASTA."""
+    """Full stage-04 pipeline for one sample's consensus FASTA.
+
+    match_read_wildcards: enable when the consensus was called with -amb
+    (IUPAC ambiguity codes) so primers still match over ambiguous bases
+    at the same e=0.1 budget (cutadapt --match-read-wildcards)."""
     pairs = parse_primer_pairs(r1_primer_fasta)
     if not pairs:
         raise ValueError(f"no Forward/Reverse primer pairs in "
                          f"{r1_primer_fasta}")
     rep = CleanReport(total=len(records))
-    trimmed, untrimmed = linked_trim(records, pairs, e)
+    mrw = match_read_wildcards
+    trimmed, untrimmed = linked_trim(records, pairs, e,
+                                     match_read_wildcards=mrw)
     rep.trimmed, rep.untrimmed = len(trimmed), len(untrimmed)
     all_primers = [p.fwd for p in pairs] + [p.rev for p in pairs]
     if r2_primer_fasta:
         for p2 in parse_primer_pairs(r2_primer_fasta):
             all_primers += [p2.fwd, p2.rev]
-    clean, dropped = residual_primer_failsafe(trimmed, all_primers)
+    clean, dropped = residual_primer_failsafe(trimmed, all_primers,
+                                              match_read_wildcards=mrw)
     rep.failsafe_dropped = len(dropped)
     rep.dropped_ids = dropped
     if do_round2 and untrimmed:
-        r2, n_mod = unlinked_round2(untrimmed, pairs, e)
+        r2, n_mod = unlinked_round2(untrimmed, pairs, e,
+                                    match_read_wildcards=mrw)
         rep.round2_trimmed = n_mod
     else:
         r2 = []

@@ -45,6 +45,9 @@ class PipelineConfig:
     qmin: float = 10.0                       # 01_pychopper.sh:16
     sorter: SorterConfig = field(default_factory=SorterConfig)
     clean_e_rate: float = 0.1
+    # cutadapt --match-read-wildcards for stage 04: enable with -amb
+    # consensus so IUPAC ambiguity codes still match primers
+    match_read_wildcards: bool = False
     rrna_exemplars_18s: Optional[str] = None  # FASTA paths
     rrna_exemplars_28s: Optional[str] = None
 
@@ -116,7 +119,8 @@ def stage_clean(consensus_fasta: str, outdir: str, barcode: str,
     records = list(read_records(consensus_fasta))
     return clean_primers(records, primers,
                          outdir=os.path.join(outdir, "primerless", barcode),
-                         name=barcode, e=cfg.clean_e_rate)
+                         name=barcode, e=cfg.clean_e_rate,
+                         match_read_wildcards=cfg.match_read_wildcards)
 
 
 def stage_rrna(cleaned_fasta: str, outdir: str, barcode: str,

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..align import myers
 from ..align.batched import batched_locate
-from ..align.spec import FRONT
+from ..align.spec import FRONT, BACK
 
 
 def make_mesh(shape: Optional[Tuple[int, int]] = None,
@@ -85,6 +85,77 @@ def sharded_demux_step(mesh: Mesh, bank, read_masks, read_lens,
 
     return step(masks, lens, ktab, npre, jnp.asarray(read_masks),
                 jnp.asarray(read_lens))
+
+
+# ---------------------------------------------------------------------------
+# Dual-round demux step: the full 02-stage decision per read, sharded
+# ---------------------------------------------------------------------------
+
+def sharded_dual_demux_step(mesh: Mesh, sp5, sp27rc, read_masks,
+                            read_lens):
+    """Both cutadapt rounds (SP5 FRONT + SP27-rc BACK, --rc each round,
+    on-device trim between rounds) for a read batch sharded over 'data';
+    the multi-chip form of demux.fused. Uses the XLA locate core so the
+    same program compiles on a virtual CPU mesh and on TPU slices.
+
+    Returns per-read vectors (idx1, rc1, qe1, idx2, rc2, qs2), each
+    [B] sharded over 'data', plus psum-merged histograms hist1 [A5+1]
+    and hist2 [A27+1] (slot 0 = unknown).
+    """
+    from ..demux.fused import _revcomp_rows, _shift_left
+
+    A5 = sp5.masks.shape[0]
+    A27 = sp27rc.masks.shape[0]
+    b5 = tuple(jnp.asarray(x) for x in
+               (sp5.masks, sp5.lens, sp5.k_table, sp5.n_prefix))
+    b27 = tuple(jnp.asarray(x) for x in
+                (sp27rc.masks, sp27rc.lens, sp27rc.k_table,
+                 sp27rc.n_prefix))
+
+    def best_both(res, B):
+        idx, m, qs, qe = choose_best_jnp(res)
+        return ((idx[:B], m[:B], qs[:B], qe[:B]),
+                (idx[B:], m[B:], qs[B:], qe[B:]))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data"), P("data"),
+                   P("data"), P("data"), P(), P()),
+        check_vma=False)
+    def step(bank5, bank27, rm, rl):
+        B = rm.shape[0]
+        m32 = rm.astype(jnp.int32)
+        rl = rl.astype(jnp.int32)
+        rc = _revcomp_rows(m32, rl)
+        both = jnp.concatenate([m32, rc])
+        lens2 = jnp.concatenate([rl, rl])
+        res = batched_locate(*bank5, both, lens2, int(FRONT))
+        (fi, fm, _, fqe), (ri, rm_, _, rqe) = best_both(res, B)
+        use_rc1 = (rm_ >= 0) & ((fm < 0) | (rm_ > fm))
+        idx1 = jnp.where(use_rc1, ri, fi)
+        qe1 = jnp.where(idx1 >= 0, jnp.where(use_rc1, rqe, fqe), 0)
+        oriented = jnp.where(use_rc1[:, None], rc, m32)
+        trimmed = _shift_left(oriented, qe1)
+        lens_t = rl - qe1
+        rc_t = _revcomp_rows(trimmed, lens_t)
+        both2 = jnp.concatenate([trimmed, rc_t])
+        lens2t = jnp.concatenate([lens_t, lens_t])
+        res2 = batched_locate(*bank27, both2, lens2t, int(BACK))
+        (fi2, fm2, fqs2, _), (ri2, rm2, rqs2, _) = best_both(res2, B)
+        use_rc2 = (rm2 >= 0) & ((fm2 < 0) | (rm2 > fm2))
+        idx2 = jnp.where(use_rc2, ri2, fi2)
+        qs2 = jnp.where(idx2 >= 0,
+                        jnp.maximum(jnp.where(use_rc2, rqs2, fqs2), 0), 0)
+        h1 = jnp.sum(idx1[:, None] == jnp.arange(A5 + 1)[None, :] - 1,
+                     axis=0, dtype=jnp.int32)
+        h2 = jnp.sum(idx2[:, None] == jnp.arange(A27 + 1)[None, :] - 1,
+                     axis=0, dtype=jnp.int32)
+        return (idx1, use_rc1.astype(jnp.int32), qe1, idx2,
+                use_rc2.astype(jnp.int32), qs2,
+                jax.lax.psum(h1, "data"), jax.lax.psum(h2, "data"))
+
+    return step(b5, b27, jnp.asarray(read_masks), jnp.asarray(read_lens))
 
 
 # ---------------------------------------------------------------------------

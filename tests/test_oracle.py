@@ -9,7 +9,13 @@ from tpu_orc.align.oracle import locate, edit_distance, similarity
 def brute_force_locate(ref, qry, e, flags, min_overlap=3):
     """Independent O(n^2 m^2)-ish check: enumerate all (refstart, qrystart)
     and run a plain NW forward DP, replicating spec.py acceptance rules.
-    Only tracks cost (not matches), so we compare costs/validity only."""
+    Only tracks cost (not matches), so we compare costs/validity only.
+
+    NOTE this is strictly MORE permissive than cutadapt/spec.py: the real
+    DP keeps ONE (cost, origin) per cell, so an acceptable alignment can
+    be shadowed by an equal-or-lower-cost path with a different origin
+    that fails acceptance (shorter overlap). Returns (best_cost, hits)
+    where hits is every acceptable (rs, qs, re, qe, cost)."""
     from tpu_orc.align.spec import Flag
     from tpu_orc.io import encode
     rm = encode.encode_ref_masks(ref)
@@ -23,6 +29,9 @@ def brute_force_locate(ref, qry, e, flags, min_overlap=3):
     if flags & Flag.START_WITHIN_SEQ2:
         starts |= {(0, qs) for qs in range(n + 1)}
     best = None
+    hits = []
+    # endpoint -> [(cost, acceptable)] over ALL origins (shadow detection)
+    cell_all = {}
     nprefix = np.concatenate([[0], np.cumsum((rm & 15) == 15)])
     for rs, qs in sorted(starts):
         if True:
@@ -42,14 +51,17 @@ def brute_force_locate(ref, qry, e, flags, min_overlap=3):
             if flags & F.STOP_WITHIN_SEQ2:
                 ends |= {(M, qe) for qe in range(N + 1)}
             for re_, qe in ends:
+                end_key = (rs + re_, qs + qe)
+                c = int(D[re_, qe])
                 length = re_
-                if length < min_overlap:
-                    continue
                 eff = length - (nprefix[rs + re_] - nprefix[rs])
-                c = D[re_, qe]
-                if c <= e * eff and (best is None or c < best):
-                    best = c
-    return best
+                acceptable = length >= min_overlap and c <= e * eff
+                cell_all.setdefault(end_key, []).append((c, acceptable))
+                if acceptable:
+                    hits.append((rs, qs, re_, qe, c))
+                    if best is None or c < best:
+                        best = c
+    return best, hits, cell_all
 
 
 def test_exact_front_match():
@@ -110,22 +122,36 @@ def test_indels_allowed():
 
 
 @pytest.mark.parametrize("flags", [FRONT, BACK, PREFIX, SUFFIX])
-def test_locate_cost_matches_bruteforce(flags, rng):
-    for trial in range(25):
+def test_locate_cost_matches_bruteforce(flags):
+    # local deterministic stream: the shared session rng's state depends
+    # on which other tests ran first, which made this test's data (and a
+    # rare shadowing case, see below) order-dependent
+    rng = np.random.default_rng(1000 + int(flags))
+    for trial in range(60):
         m = int(rng.integers(3, 12))
         n = int(rng.integers(0, 25))
         ref = "".join(rng.choice(list("ACGT"), size=m))
         qry = "".join(rng.choice(list("ACGT"), size=n))
         e = float(rng.choice([0.0, 0.1, 0.2, 0.3]))
         loc = locate(ref, qry, e, flags)
-        bf = brute_force_locate(ref, qry, e, flags)
+        bf, hits, cell_all = brute_force_locate(ref, qry, e, flags)
         if bf is None:
             assert loc is None, (ref, qry, e, loc)
-        else:
-            assert loc is not None, (ref, qry, e, bf)
+        elif loc is not None:
             assert loc.errors >= bf  # oracle may prefer more-matches over min-cost
             # but the chosen alignment must itself be acceptable
             # (checked inside locate)
+        else:
+            # The spec's DP keeps ONE (cost, origin) per cell, so an
+            # acceptable alignment may be shadowed at its endpoint by an
+            # equal-or-lower-cost path whose origin fails acceptance
+            # (cutadapt behaves identically). Oracle-None is legitimate
+            # only if EVERY brute-force hit is shadowed that way.
+            for (rs, qs, re_, qe, c) in hits:
+                end_key = (rs + re_, qs + qe)
+                shadowed = any(c2 <= c and not ok2
+                               for c2, ok2 in cell_all[end_key])
+                assert shadowed, (ref, qry, e, (rs, qs, re_, qe, c))
 
 
 def test_edit_distance_modes():

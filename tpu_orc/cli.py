@@ -128,6 +128,9 @@ def main(argv=None):
     sp.add_argument("-n", "--dataset", required=True)
     sp.add_argument("-a", "--amplicon", choices=["COI", "RNA"],
                     required=True)
+    sp.add_argument("--trace", metavar="DIR", default=None,
+                    help="capture a jax.profiler device trace into DIR "
+                         "(TensorBoard/XProf format)")
 
     args = p.parse_args(argv)
 
@@ -215,7 +218,8 @@ def main(argv=None):
         print(json.dumps({"cleaned": clean, "metadata": meta}))
     elif args.cmd == "run-all":
         from .pipeline.stages import run_all
-        rep = run_all(args.input, args.outdir, args.dataset, args.amplicon)
+        rep = run_all(args.input, args.outdir, args.dataset, args.amplicon,
+                      trace_dir=args.trace)
         print(json.dumps(rep, default=str))
     return 0
 

@@ -137,46 +137,71 @@ def stage_rrna(cleaned_fasta: str, outdir: str, barcode: str,
 
 def run_all(in_fastq: str, outdir: str, dataset: str, amplicon: str,
             cfg: Optional[PipelineConfig] = None,
-            prefix: str = "amplicons") -> Dict:
+            prefix: str = "amplicons",
+            trace_dir: Optional[str] = None) -> Dict:
     """00 -> 05 on one dataset FASTQ. Returns a run report dict and writes
-    run_report.json."""
+    run_report.json + metrics.json (per-stage wall time and throughput;
+    ``trace_dir`` or TPU_ORC_TRACE additionally captures a jax.profiler
+    device trace of the whole run)."""
+    from ..utils.profiling import Metrics, device_trace
+
     cfg = cfg or PipelineConfig()
     os.makedirs(outdir, exist_ok=True)
     report: Dict = {"dataset": dataset, "amplicon": amplicon}
+    met = Metrics(run=dataset)
 
-    stats = stage_qc(in_fastq, outdir, dataset)
-    report["qc"] = {"reads": stats.number_of_reads, "n50": stats.n50}
+    with device_trace(trace_dir):
+        with met.stage("00_qc") as st:
+            stats = stage_qc(in_fastq, outdir, dataset)
+            st.count(n_reads=stats.number_of_reads)
+        report["qc"] = {"reads": stats.number_of_reads, "n50": stats.n50}
 
-    reor = stage_reorient(in_fastq, outdir, dataset, cfg)
-    report["reorient"] = reor.stats
-    pass_path = os.path.join(outdir, "pychopped", f"{dataset}_pass.fastq")
+        with met.stage("01_reorient") as st:
+            reor = stage_reorient(in_fastq, outdir, dataset, cfg)
+            st.count(n_reads=stats.number_of_reads)
+        report["reorient"] = reor.stats
+        pass_path = os.path.join(outdir, "pychopped",
+                                 f"{dataset}_pass.fastq")
 
-    demux_rep = stage_demux(pass_path, outdir, dataset, cfg)
-    report["demux"] = {"bins": len(demux_rep["final_bins"]),
-                       "binned_reads": sum(demux_rep["final_bins"].values())}
+        with met.stage("02_demux") as st:
+            demux_rep = stage_demux(pass_path, outdir, dataset, cfg)
+            st.count(n_reads=demux_rep["total_reads"])
+        report["demux"] = {
+            "bins": len(demux_rep["final_bins"]),
+            "binned_reads": sum(demux_rep["final_bins"].values())}
 
-    report["barcodes"] = {}
-    for comb in sorted(demux_rep["final_bins"]):
-        bin_path = os.path.join(outdir, "demuxed", "SP27",
-                                f"{comb}_{dataset}.fastq.gz")
-        result, consensus_path = stage_sort(bin_path, outdir, comb, prefix,
-                                            cfg)
-        rep_bc = {"reads": result.n_reads, "skipped": result.skipped,
-                  "species_groups": sum(len(s) for s in result.species)}
-        if not result.skipped and rep_bc["species_groups"]:
-            clean, crep = stage_clean(consensus_path, outdir, comb,
-                                      amplicon, cfg)
-            rep_bc["cleaned"] = len(clean)
-            cleaned_path = os.path.join(outdir, "primerless", comb,
-                                        f"cleaned_{comb}.fasta")
-            if amplicon.upper() != "COI" and (cfg.rrna_exemplars_18s
-                                              or cfg.rrna_exemplars_28s):
-                hits = stage_rrna(cleaned_path, outdir, comb, cfg)
-                rep_bc["rrna"] = {g: len(h) for g, h in hits.items()}
-        report["barcodes"][comb] = rep_bc
+        report["barcodes"] = {}
+        for comb in sorted(demux_rep["final_bins"]):
+            bin_path = os.path.join(outdir, "demuxed", "SP27",
+                                    f"{comb}_{dataset}.fastq.gz")
+            with met.stage(f"03_sort/{comb}") as st:
+                result, consensus_path = stage_sort(bin_path, outdir, comb,
+                                                    prefix, cfg)
+                st.count(n_reads=result.n_reads)
+            rep_bc = {"reads": result.n_reads, "skipped": result.skipped,
+                      "species_groups": sum(len(s)
+                                            for s in result.species)}
+            if not result.skipped and rep_bc["species_groups"]:
+                with met.stage(f"04_clean/{comb}") as st:
+                    clean, crep = stage_clean(consensus_path, outdir, comb,
+                                              amplicon, cfg)
+                    st.count(n_contigs=crep.total)
+                rep_bc["cleaned"] = len(clean)
+                cleaned_path = os.path.join(outdir, "primerless", comb,
+                                            f"cleaned_{comb}.fasta")
+                if amplicon.upper() != "COI" and (cfg.rrna_exemplars_18s
+                                                  or cfg.rrna_exemplars_28s):
+                    with met.stage(f"05_rrna/{comb}") as st:
+                        hits = stage_rrna(cleaned_path, outdir, comb, cfg)
+                        st.count(n_contigs=len(clean))
+                    rep_bc["rrna"] = {g: len(h) for g, h in hits.items()}
+            report["barcodes"][comb] = rep_bc
 
-    summarize_barcode_dir(os.path.join(outdir, "sorted"),
-                          os.path.join(outdir, "amplicon_summary.tsv"))
+        summarize_barcode_dir(os.path.join(outdir, "sorted"),
+                              os.path.join(outdir, "amplicon_summary.tsv"))
+
+    met.write(os.path.join(outdir, "metrics.json"))
+    report["metrics"] = met.as_dict()
     with open(os.path.join(outdir, "run_report.json"), "w") as fh:
         json.dump(report, fh, indent=2, default=str)
     return report

@@ -117,6 +117,41 @@ def main():
     n_cpu_pairs = (D >= 0).sum()
     cpu_cells = float(n_cpu_pairs) * np.mean(lens) ** 2 / t_cpu_aa
 
+    # --- clustering end-to-end: full engine on one 1000-read 2-species
+    # bin (the reference's SLURM-array unit of work)
+    import random
+    from tpu_orc.cluster.engine import AmpliconSorter, SorterConfig
+    from tpu_orc.io.fastq import Record
+    random.seed(2)
+
+    def mutate(s, k):
+        s = list(s)
+        for _ in range(k):
+            op = random.randrange(3)
+            p = random.randrange(len(s))
+            if op == 0:
+                s[p] = random.choice("ACGT")
+            elif op == 1 and len(s) > 1:
+                del s[p]
+            else:
+                s.insert(p, random.choice("ACGT"))
+        return "".join(s)
+
+    t1 = "".join(random.choice("ACGT") for _ in range(450))
+    t2 = mutate(t1, 60)
+    recs = []
+    for k, tmpl in enumerate((t1, t2)):
+        for i in range(500):
+            recs.append(Record(f"r{k}_{i}", "", mutate(tmpl, 27), None))
+    random.shuffle(recs)
+    AmpliconSorter(SorterConfig(min_length=300, seed=7)).sort_records(
+        recs)  # warm/compile
+    t0 = time.time()
+    sres = AmpliconSorter(SorterConfig(min_length=300,
+                                       seed=7)).sort_records(recs)
+    t_sort = time.time() - t0
+    n_species = sum(len(g) for g in sres.species)
+
     out = {
         "metric": "demux_reads_per_s_per_chip",
         "value": round(tpu_rps, 1),
@@ -129,6 +164,8 @@ def main():
             "cluster_device_pairs_per_s": round(tpu_pairs, 1),
             "cluster_cpu_cells_per_s": round(cpu_cells, 0),
             "cluster_vs_cpu": round(tpu_cells / cpu_cells, 2),
+            "sort_1000reads_e2e_s": round(t_sort, 2),
+            "sort_species_found": n_species,
         },
     }
     print(json.dumps(out))

@@ -26,6 +26,34 @@ from ..io import encode
 GAP = 255  # gap marker in alignment matrices
 
 
+def _decode_ops(ops: np.ndarray, q: np.ndarray):
+    """Vectorized decode of an NW op string (0=diag, 1=ins, 2=del) into
+    (match_t_pos, match_vals, ins_t_pos, ins_vals, ins_rank) where
+    positions are ORIGINAL consensus coordinates and ins_rank is the
+    occurrence index within each same-position insertion run."""
+    ops = np.asarray(ops, dtype=np.int8)
+    consumes_t = ops != 1
+    consumes_q = ops != 2
+    t_pos = np.cumsum(consumes_t) - consumes_t   # ti before this op
+    q_pos = np.cumsum(consumes_q) - consumes_q
+    diag = ops == 0
+    ins = ops == 1
+    m_t = t_pos[diag]
+    m_v = q[q_pos[diag]]
+    i_t = t_pos[ins]
+    i_v = q[q_pos[ins]]
+    if len(i_t):
+        # same-position inserts are consecutive in op order
+        starts = np.r_[0, np.nonzero(np.diff(i_t))[0] + 1]
+        run_id = np.zeros(len(i_t), dtype=np.int64)
+        run_id[starts[1:]] = 1
+        run_id = np.cumsum(run_id)
+        rank = np.arange(len(i_t)) - starts[run_id]
+    else:
+        rank = np.zeros(0, dtype=np.int64)
+    return m_t, m_v, i_t, i_v, rank
+
+
 def _align_rows(consensus_codes: np.ndarray,
                 reads: Sequence[np.ndarray]) -> np.ndarray:
     """Star alignment of reads against the consensus draft.
@@ -39,62 +67,33 @@ def _align_rows(consensus_codes: np.ndarray,
     contract is consensus *equivalence* (SURVEY.md §7.4.3), not
     column-structure parity. Returns int16 matrix [n_reads+1, width],
     GAP=255, row 0 = draft."""
-    t = [int(c) for c in consensus_codes]
-    rows: List[List[int]] = [t[:]]
-    # map: original consensus position -> current column index
-    for q_arr in reads:
-        ops = native.nw_path(np.asarray(q_arr, dtype=np.uint8),
-                             np.asarray(consensus_codes, dtype=np.uint8))
-        # Build the read row in ORIGINAL consensus coordinates, collecting
-        # insertion positions (consume-read-only ops).
-        q = [int(c) for c in q_arr]
-        qi = 0
-        ti = 0
-        row_vals: List[Tuple[int, int]] = []  # (orig_t_pos, value) for diag/del
-        inserts: List[Tuple[int, int]] = []   # (orig_t_pos, value)
-        for op in ops:
-            if op == 0:        # diag: consume read + consensus
-                row_vals.append((ti, q[qi])); qi += 1; ti += 1
-            elif op == 1:      # consume read only -> insertion before ti
-                inserts.append((ti, q[qi])); qi += 1
-            else:              # consume consensus only -> gap in read
-                row_vals.append((ti, GAP)); ti += 1
-        rows.append((row_vals, inserts))  # type: ignore[arg-type]
-    # Assemble columns: count max insertions before each consensus position
+    t = np.asarray(consensus_codes, dtype=np.int16)
     n_t = len(t)
+    decoded = []
     ins_count = np.zeros(n_t + 1, dtype=np.int64)
-    for rv in rows[1:]:
-        _, inserts = rv  # type: ignore[misc]
-        per = {}
-        for pos, _val in inserts:
-            per[pos] = per.get(pos, 0) + 1
-        for pos, cnt in per.items():
-            ins_count[pos] = max(ins_count[pos], cnt)
+    all_ops = native.nw_path_batch(
+        [np.asarray(q, dtype=np.uint8) for q in reads],
+        np.asarray(consensus_codes, dtype=np.uint8))
+    for q_arr, ops in zip(reads, all_ops):
+        q = np.asarray(q_arr, dtype=np.int16)
+        m_t, m_v, i_t, i_v, rank = _decode_ops(ops, q)
+        decoded.append((m_t, m_v, i_t, i_v, rank))
+        if len(i_t):
+            per = np.bincount(i_t, minlength=n_t + 1)
+            np.maximum(ins_count, per, out=ins_count)
     # column layout: [ins slots before pos 0][pos 0][ins before 1][pos 1]...
-    col_of_t = np.zeros(n_t, dtype=np.int64)
-    width = 0
-    for p in range(n_t):
-        width += int(ins_count[p])
-        col_of_t[p] = width
-        width += 1
-    width += int(ins_count[n_t])
-    ins_base = np.zeros(n_t + 1, dtype=np.int64)  # first ins column before p
-    for p in range(n_t + 1):
-        ins_base[p] = (col_of_t[p] - ins_count[p]) if p < n_t else width - ins_count[n_t]
+    col_of_t = np.cumsum(ins_count[:n_t]) + np.arange(n_t)
+    width = int(ins_count.sum()) + n_t
+    ins_base = np.empty(n_t + 1, dtype=np.int64)  # first ins col before p
+    ins_base[:n_t] = col_of_t - ins_count[:n_t]
+    ins_base[n_t] = width - ins_count[n_t]
     out = np.full((len(reads) + 1, width), GAP, dtype=np.int16)
-    for p in range(n_t):
-        out[0, col_of_t[p]] = t[p]
-    for ri, rv in enumerate(rows[1:], start=1):
-        row_vals, inserts = rv  # type: ignore[misc]
-        for pos, val in row_vals:
-            if val != GAP:
-                out[ri, col_of_t[pos]] = val
-        per_pos: dict = {}
-        for pos, val in inserts:
-            k = per_pos.get(pos, 0)
+    out[0, col_of_t] = t
+    for ri, (m_t, m_v, i_t, i_v, rank) in enumerate(decoded, start=1):
+        out[ri, col_of_t[m_t]] = m_v
+        if len(i_t):
             # right-align inserted bases against the consensus position
-            out[ri, ins_base[pos] + int(ins_count[pos]) - 1 - k] = val
-            per_pos[pos] = k + 1
+            out[ri, ins_base[i_t] + ins_count[i_t] - 1 - rank] = i_v
     return out
 
 
@@ -235,15 +234,15 @@ def _build_consensus_impl(read_codes: Sequence[np.ndarray],
 
 def consensus_direction(code_list: List[np.ndarray]) -> List[np.ndarray]:
     """Orient all sequences to the first by fwd-vs-revcomp NW similarity
-    (amplicon_sorter.py:1826-1838)."""
+    (amplicon_sorter.py:1826-1838). One batched native call per group."""
     if not code_list:
         return code_list
-    first = code_list[0]
-    out = [first]
-    for c in code_list[1:]:
-        rc = encode.revcomp_codes(np.asarray(c))
-        d_f = native.edit_distance(first, c)
-        d_r = native.edit_distance(first, rc)
-        longer = max(len(first), len(c))
-        out.append(c if (1 - d_f / longer) >= (1 - d_r / longer) else rc)
+    first = np.asarray(code_list[0], dtype=np.uint8)
+    rest = [np.asarray(c, dtype=np.uint8) for c in code_list[1:]]
+    d_f, d_r = native.orient_batch(first, rest)
+    out: List[np.ndarray] = [code_list[0]]
+    for c, df, dr in zip(rest, d_f, d_r):
+        # same-longer denominator for both -> compare distances directly;
+        # ties keep forward (>= in the reference's similarity compare)
+        out.append(c if df <= dr else encode.revcomp_codes(c))
     return out

@@ -206,7 +206,7 @@ class DeviceScorer:
                 c1 = min(c0 + self.C_CHUNK, C)
                 cp, cl = pack_codes(cons_codes[c0:c1], cap=L,
                                     count_cap=self.C_CHUNK)
-                D = myers.distances(cp, cl, rp, rl, "NW")
+                D = self._tile_distances(cp, cl, rp, rl)
                 nr = r1 - r0
                 Df = D[:c1 - c0, :nr].T
                 Dr = D[:c1 - c0, self.R_CHUNK:self.R_CHUNK + nr].T

@@ -52,6 +52,13 @@ def lib() -> ctypes.CDLL:
     L.orc_nw_path.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int,
                               ctypes.c_int, u8p, ctypes.c_int]
     L.orc_nw_path.restype = ctypes.c_int
+    L.orc_nw_path_batch.argtypes = [u8p, i64p, i32p, ctypes.c_int,
+                                    u8p, ctypes.c_int,
+                                    u8p, ctypes.c_int, i32p]
+    L.orc_nw_path_batch.restype = None
+    L.orc_orient_batch.argtypes = [u8p, ctypes.c_int, u8p, i64p, i32p,
+                                   ctypes.c_int, i32p, i32p]
+    L.orc_orient_batch.restype = None
     _lib = L
     return L
 
@@ -112,6 +119,51 @@ def locate_batch(ref_masks_list, qry_masks_list, e: float, flags: int,
                            e, int(flags), min_overlap,
                            out.reshape(-1), valid.reshape(-1))
     return out, valid.astype(bool)
+
+
+def _concat(codes_list):
+    n = len(codes_list)
+    seqs = (np.concatenate([np.ascontiguousarray(c, np.uint8)
+                            for c in codes_list])
+            if n else np.zeros(0, np.uint8))
+    lens = np.array([len(c) for c in codes_list], np.int32)
+    offs = np.zeros(n, np.int64)
+    if n > 1:
+        np.cumsum(lens[:-1].astype(np.int64), out=offs[1:])
+    return seqs, offs, lens
+
+
+def nw_path_batch(codes_list, cons_codes: np.ndarray):
+    """Align every sequence in ``codes_list`` against one consensus;
+    returns a list of op arrays (0=diag 1=consume-seq 2=consume-cons).
+    One ctypes crossing for the whole group."""
+    n = len(codes_list)
+    cons = np.ascontiguousarray(cons_codes, dtype=np.uint8)
+    if n == 0:
+        return []
+    seqs, offs, lens = _concat(codes_list)
+    stride = int(lens.max()) + len(cons) + 1
+    ops = np.zeros((n, stride), np.uint8)
+    nops = np.zeros(n, np.int32)
+    lib().orc_nw_path_batch(seqs, offs, lens, n, cons, len(cons),
+                            ops.reshape(-1), stride, nops)
+    if (nops < 0).any():
+        raise RuntimeError("nw_path_batch band overflow")
+    return [ops[i, :nops[i]] for i in range(n)]
+
+
+def orient_batch(first_codes: np.ndarray, codes_list):
+    """NW distances of ``first`` vs each sequence and vs its reverse
+    complement: (d_fwd [n], d_rc [n])."""
+    n = len(codes_list)
+    first = np.ascontiguousarray(first_codes, dtype=np.uint8)
+    d_f = np.zeros(n, np.int32)
+    d_r = np.zeros(n, np.int32)
+    if n:
+        seqs, offs, lens = _concat(codes_list)
+        lib().orc_orient_batch(first, len(first), seqs, offs, lens, n,
+                               d_f, d_r)
+    return d_f, d_r
 
 
 def nw_path(a_codes: np.ndarray, b_codes: np.ndarray,

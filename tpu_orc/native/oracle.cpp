@@ -229,4 +229,46 @@ int orc_nw_path(const uint8_t* a, int la, const uint8_t* b, int lb,
     return nops;
 }
 
+
+// ---------------------------------------------------------------------------
+// Batched star-alignment paths: align each read against ONE consensus
+// draft (the consensus-builder hot loop; one ctypes crossing per group
+// instead of per read). Bands derive per read from the exact Myers
+// distance. ops_out is [nreads, stride] row-major; ops_len[r] = op count
+// or -1 on band/cap overflow.
+// ---------------------------------------------------------------------------
+void orc_nw_path_batch(const uint8_t* seqs, const long* offs,
+                       const int* lens, int nreads,
+                       const uint8_t* cons, int lc,
+                       uint8_t* ops_out, int stride, int* ops_len) {
+    for (int r = 0; r < nreads; r++) {
+        const uint8_t* a = seqs + offs[r];
+        const int la = lens[r];
+        const int d = orc_edit_distance(a, la, cons, lc, 0);
+        const int band = d > 0 ? d : 1;
+        ops_len[r] = orc_nw_path(a, la, cons, lc, band,
+                                 ops_out + (size_t)r * stride, stride);
+    }
+}
+
+// Orientation distances for consensus_direction (amplicon_sorter.py:
+// 1826-1838): NW distance of `first` vs each sequence forward and vs its
+// reverse complement, one crossing per group.
+void orc_orient_batch(const uint8_t* first, int l0, const uint8_t* seqs,
+                      const long* offs, const int* lens, int nreads,
+                      int* d_fwd, int* d_rc) {
+    std::vector<uint8_t> rc;
+    for (int r = 0; r < nreads; r++) {
+        const uint8_t* a = seqs + offs[r];
+        const int la = lens[r];
+        d_fwd[r] = orc_edit_distance(first, l0, a, la, 0);
+        rc.assign((size_t)la, 4);
+        for (int k = 0; k < la; k++) {
+            const uint8_t c = a[la - 1 - k];
+            rc[k] = c < 4 ? (uint8_t)(3 - c) : c;
+        }
+        d_rc[r] = orc_edit_distance(first, l0, rc.data(), la, 0);
+    }
+}
+
 }  // extern "C"

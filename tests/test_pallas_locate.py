@@ -3,6 +3,7 @@ import numpy as np
 import pytest
 
 from tpu_orc.align import FRONT, BACK
+from tpu_orc.align.pallas_locate import INFIX
 from tpu_orc.align.oracle import locate
 from tpu_orc.align.batched import make_k_table, make_n_prefix
 from tpu_orc.align.pallas_locate import locate_pallas
@@ -46,7 +47,8 @@ def run_both(refs, reads, e, flags, min_overlap=3):
     return mism
 
 
-@pytest.mark.parametrize("flags", [FRONT, BACK], ids=["FRONT", "BACK"])
+@pytest.mark.parametrize("flags", [FRONT, BACK, INFIX],
+                         ids=["FRONT", "BACK", "INFIX"])
 @pytest.mark.parametrize("e", [0.0, 0.1, 0.2])
 def test_pallas_locate_random_parity(flags, e):
     rng = np.random.default_rng(9)
@@ -93,6 +95,6 @@ def test_pallas_locate_iupac_primers():
     reads = ["".join(rng.choice(list("ACGTN"),
                                 size=int(rng.integers(10, 60))))
              for _ in range(8)]
-    for flags in (FRONT, BACK):
+    for flags in (FRONT, BACK, INFIX):
         mism = run_both(refs, reads, 0.2, flags)
         assert not mism, (flags, mism[:5])

@@ -18,7 +18,9 @@ not lane-aligned). This kernel pins the layout for the VPU:
   j==len snapshot and reduced once after the column loop against the
   per-(adapter, row) table ``kfin``.
 
-Supported modes: FRONT and BACK (the demux hot paths). Other flag
+Supported modes: FRONT and BACK (the demux hot paths) and INFIX
+(START+STOP_WITHIN_SEQ2 — the pychopper reorientation primer scan;
+BACK's recurrence without the final-column candidate set). Other flag
 combinations fall back to align/batched.py. Semantics are bit-identical
 to the oracle; enforced by tests/test_pallas_locate.py.
 """
@@ -32,18 +34,22 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .spec import FRONT, BACK, DEFAULT_MIN_OVERLAP
+from .spec import Flag, FRONT, BACK, DEFAULT_MIN_OVERLAP
+
+INFIX = Flag.START_WITHIN_SEQ2 | Flag.STOP_WITHIN_SEQ2
 
 BIG = 1 << 28
 RP = 64      # padded DP rows (adapter length <= 63)
 TB = 128     # reads per tile
 
 
-def _kernel(mode_front: bool, Ap: int, L: int,
+def _kernel(mode: str, Ap: int, L: int,
             ref_ref, kbyrs_ref, kfin_ref, onem_ref, mrow_ref,
             kconst_ref, reads_ref, lens_ref,
             out_m, out_c, out_o, out_q, out_v, out_r,
             cost, matches, origin, sc, sm, so):
+    mode_front = mode == "front"
+    snapshot = mode == "back"
     rows3 = jax.lax.broadcasted_iota(jnp.int32, (Ap, RP, TB), 1)
     lens = lens_ref[0, :][None, :]                  # [1, TB]
     mrow = mrow_ref[:, 0][:, None]                  # [Ap, 1]
@@ -57,9 +63,10 @@ def _kernel(mode_front: bool, Ap: int, L: int,
         cost[...] = rows3
         origin[...] = jnp.zeros((Ap, RP, TB), jnp.int32)
     matches[...] = jnp.zeros((Ap, RP, TB), jnp.int32)
-    sc[...] = cost[...]
-    sm[...] = matches[...]
-    so[...] = origin[...]
+    if snapshot:  # j==len column snapshot state (BACK only)
+        sc[...] = cost[...]
+        sm[...] = matches[...]
+        so[...] = origin[...]
 
     def row_m_eval(j, cst, mat, org):
         cm = jnp.sum(jnp.where(onem, cst, 0), axis=1)   # [Ap, TB]
@@ -139,7 +146,7 @@ def _kernel(mode_front: bool, Ap: int, L: int,
         ok, mm, cm, om = row_m_eval(j, ncost, m_, o_)
         update_best(ok, mm, cm, om,
                     jnp.broadcast_to(j, (Ap, TB)).astype(jnp.int32))
-        if not mode_front:
+        if snapshot:
             at_end = j == lens[:, None, :]           # [1, 1, TB]
             sc[...] = jnp.where(at_end, ncost, sc[...])
             sm[...] = jnp.where(at_end, m_, sm[...])
@@ -148,7 +155,7 @@ def _kernel(mode_front: bool, Ap: int, L: int,
 
     jax.lax.fori_loop(1, L + 1, col, 0)
 
-    if not mode_front:
+    if snapshot:
         # final-column candidates from the snapshot; thresholds kfin are
         # per-(adapter,row) constants (refstart == 0 for BACK) with the
         # min-overlap and row<=m rules baked in as -1
@@ -177,15 +184,18 @@ def _kernel(mode_front: bool, Ap: int, L: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mode_front", "Ap", "L", "interpret"))
+                   static_argnames=("mode", "Ap", "L", "interpret"))
 def locate_tiles(ref, kbyrs, kfin, onem, mrow, kconst, reads_T, lens,
-                 mode_front: bool, Ap: int, L: int,
+                 mode, Ap: int, L: int,
                  interpret: bool = False):
     """reads_T [L, B] int32, lens [1, B]; B % TB == 0. Returns 6 arrays
-    [Ap, B]: matches, errors, origin, qstop, valid, refstop-row."""
+    [Ap, B]: matches, errors, origin, qstop, valid, refstop-row.
+    mode: 'front' | 'back' | 'infix' (legacy bool = front/back)."""
+    if mode is True or mode is False:
+        mode = "front" if mode else "back"
     B = reads_T.shape[1]
     grid = (B // TB,)
-    kernel = functools.partial(_kernel, mode_front, Ap, L)
+    kernel = functools.partial(_kernel, mode, Ap, L)
     const_spec = pl.BlockSpec((Ap, RP), lambda b: (0, 0),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -272,13 +282,15 @@ def locate_pallas(bank_masks: np.ndarray, bank_lens: np.ndarray,
     fields as numpy arrays [B, A]. FRONT/BACK only."""
     from .batched import LocateResult
     if int(flags) == int(FRONT):
-        mode_front = True
+        mode = "front"
     elif int(flags) == int(BACK):
-        mode_front = False
+        mode = "back"
+    elif int(flags) == int(INFIX):
+        mode = "infix"
     else:
-        raise ValueError("pallas locate supports FRONT/BACK only")
+        raise ValueError("pallas locate supports FRONT/BACK/INFIX only")
     tabs = BankTables(bank_masks, bank_lens, k_table, n_prefix,
-                      mode_front, min_overlap)
+                      mode == "front", min_overlap)
     A, Ap = tabs.A, tabs.Ap
     B0, L = read_masks.shape
     B = -(-B0 // TB) * TB
@@ -288,7 +300,7 @@ def locate_pallas(bank_masks: np.ndarray, bank_lens: np.ndarray,
     lens[0, :B0] = read_lens
     m, c, o, q, v, r = locate_tiles(
         *tabs.arrays(), jnp.asarray(reads_T), jnp.asarray(lens),
-        mode_front, Ap, L, interpret)
+        mode, Ap, L, interpret)
     tr = lambda x: np.asarray(x)[:A, :B0].T
     bo = tr(o)
     return LocateResult(

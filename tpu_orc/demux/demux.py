@@ -74,12 +74,14 @@ def _bucket_pad(n: int) -> int:
 
 
 def _use_pallas(bank: AdapterBank, flags) -> bool:
-    """Pallas locate on accelerators for FRONT/BACK with adapters < 63 bp;
-    XLA otherwise. TPU_ORC_NO_PALLAS=1 disables (escape hatch)."""
+    """Pallas locate on accelerators for FRONT/BACK/INFIX with adapters
+    < 63 bp; XLA otherwise. TPU_ORC_NO_PALLAS=1 disables (escape
+    hatch)."""
     import os
+    from ..align.pallas_locate import INFIX
     if os.environ.get("TPU_ORC_NO_PALLAS"):
         return False
-    if int(flags) not in (int(FRONT), int(BACK)):
+    if int(flags) not in (int(FRONT), int(BACK), int(INFIX)):
         return False
     if bank.masks.shape[1] >= 63:
         return False
@@ -120,6 +122,11 @@ def locate_batch(bank: AdapterBank, seqs: Sequence[str], flags,
     masks, lens = encode.pack_batch(
         seqs, max_len=L, pad_multiple=1,
         encoder=encoder, pad_value=0)
+    if _use_pallas(bank, flags):
+        from ..align.pallas_locate import locate_pallas
+        return locate_pallas(bank.masks, bank.lens, bank.k_table,
+                             bank.n_prefix, masks, lens, int(flags),
+                             min_overlap)
     return batched_locate(bank.masks, bank.lens, bank.k_table, bank.n_prefix,
                           masks, lens, int(flags), min_overlap)
 

@@ -5,7 +5,8 @@ import pytest
 from tpu_orc.analysis.lca import (compute_lca, derive_metadata, lca_table,
                                   RANKS)
 from tpu_orc.analysis.phylo import (aln_matrix, dist_matrix, faith_pd,
-                                    nj_tree, overlap_matrix)
+                                    midpoint_root, nj_tree, overlap_matrix,
+                                    parse_newick)
 from tpu_orc.analysis.anchors import AnchorFilterConfig, run_anchor_filter
 from tpu_orc.io.fastq import Record, write_records
 
@@ -77,6 +78,39 @@ def test_nj_and_pd():
     assert pd_pair == pytest.approx(0.02, abs=1e-6)
     assert pd_cross > 0.4
     assert pd_all >= pd_cross
+
+
+def test_parse_newick_pd():
+    """FastTree-shaped newick (internal support values, nested clades)
+    parses into a Tree whose PD uses the ML branch lengths
+    (phylo_anchor_filter.Rmd:72-92)."""
+    nwk = "((a1:0.01,a2:0.01)0.99:0.24,(b1:0.01,b2:0.01)0.95:0.24):0.0;"
+    t = parse_newick(nwk)
+    assert sorted(t.labels) == ["a1", "a2", "b1", "b2"]
+    assert t.n_tips == 4
+    assert faith_pd(t, ["a1", "a2"]) == pytest.approx(0.02, abs=1e-9)
+    assert faith_pd(t, ["a1", "b1"]) == pytest.approx(0.50, abs=1e-9)
+    assert faith_pd(t, t.labels) == pytest.approx(0.52, abs=1e-9)
+
+
+def test_midpoint_root():
+    """Midpoint rooting places the root halfway along the longest
+    tip-to-tip path; tip-to-tip path lengths (and PD) are preserved."""
+    # caterpillar: a --5-- x --1-- y --2-- b, c hangs off y at 0.5
+    nwk = "(a:5.0,(b:2.0,c:0.5)y:1.0)x;"
+    t = midpoint_root(parse_newick(nwk))
+    # longest path a-b = 8; root at 4 from a -> on edge a-x, 1 from x
+    depths = {}
+    for k, lab in enumerate(t.labels):
+        d, v = 0.0, k
+        while t.parent[v] >= 0:
+            d += float(t.length[v])
+            v = t.parent[v]
+        depths[lab] = d
+    assert depths["a"] == pytest.approx(4.0, abs=1e-9)
+    assert depths["b"] == pytest.approx(4.0, abs=1e-9)
+    assert faith_pd(t, ["a", "b"]) == pytest.approx(8.0, abs=1e-9)
+    assert faith_pd(t, ["b", "c"]) == pytest.approx(2.5, abs=1e-9)
 
 
 def test_anchor_filter_pipeline(tmp_path, rng):

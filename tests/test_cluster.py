@@ -137,6 +137,36 @@ def test_deterministic(rng):
     assert r1.gene_groups == r2.gene_groups
 
 
+def test_species_stage_no_cross_group_leak():
+    """A read outside the gene group that shares one >=ssg edge with a
+    member must NOT be unioned into this group's species components —
+    the reference's read_indexes (amplicon_sorter.py:1341-1461) operates
+    strictly within one gene group. Models a dropped <=5-read gene group
+    leaking into a kept one."""
+    from tpu_orc.cluster.scoring import PairHits
+    rng = np.random.default_rng(5)
+    tA = "".join(rng.choice(list("ACGT"), size=400))
+    tB = "".join(rng.choice(list("ACGT"), size=400))
+    reads = [Record(f"a{i}", f"a{i}", noisy(rng, tA, 0.04))
+             for i in range(10)]
+    reads.append(Record("z0", "z0", noisy(rng, tB, 0.04)))
+    srt = AmpliconSorter(SorterConfig(min_length=300, seed=3))
+    srt.ids = [r.id for r in reads]
+    srt.seqs = [r.seq for r in reads]
+    srt.codes = [encode.encode_codes(s) for s in srt.seqs]
+    ii, jj, ss = [], [], []
+    for i in range(10):
+        for j in range(i + 1, 10):
+            ii.append(i), jj.append(j), ss.append(0.93)
+    ii.append(0), jj.append(10), ss.append(0.92)   # the leak edge
+    edges = PairHits(np.asarray(ii), np.asarray(jj), np.asarray(ss, float),
+                     np.zeros(len(ii), bool))
+    species = srt._species_stage(list(range(10)), edges, ssg=0.85)
+    members = [m for s in species for m in s.members]
+    assert 10 not in members, "outside read leaked into species group"
+    assert len(species) >= 1 and len(members) >= 5
+
+
 def test_ambiguous_consensus_iupac(rng):
     """-amb equivalent: a 50/50 split column becomes an IUPAC code."""
     from tpu_orc.cluster.consensus import build_consensus_iupac

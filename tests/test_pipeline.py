@@ -201,3 +201,25 @@ def test_host_file_shard_partition():
         all_assigned += shard
     assert sorted(all_assigned) == sorted(paths)  # disjoint and complete
     assert host_file_shard(paths, 0, 3) != host_file_shard(paths, 1, 3)
+
+
+def test_reorganise_cois(tmp_path):
+    """05b (05b_reorganise_COIs.sh:20-51): primerless/<sample>/[COIs/]
+    cleaned*.fasta -> COI_gene/<sample>/<sample>_COI.fasta."""
+    from tpu_orc.pipeline.stages import stage_reorganise_cois
+    # reference nested layout
+    d1 = tmp_path / "primerless" / "SP27_001_SP5_001" / "COIs"
+    d1.mkdir(parents=True)
+    (d1 / "cleaned_amplicon_1.fasta").write_text(">c1\nACGT\n")
+    # our flat layout
+    d2 = tmp_path / "primerless" / "SP27_002_SP5_001"
+    d2.mkdir(parents=True)
+    (d2 / "cleaned_SP27_002_SP5_001.fasta").write_text(">c2\nTTAA\n")
+    copied = stage_reorganise_cois(str(tmp_path))
+    assert set(copied) == {"SP27_001_SP5_001", "SP27_002_SP5_001"}
+    p = tmp_path / "COI_gene" / "SP27_001_SP5_001" / \
+        "SP27_001_SP5_001_COI.fasta"
+    assert p.read_text() == ">c1\nACGT\n"
+    p2 = tmp_path / "COI_gene" / "SP27_002_SP5_001" / \
+        "SP27_002_SP5_001_COI.fasta"
+    assert p2.read_text() == ">c2\nTTAA\n"

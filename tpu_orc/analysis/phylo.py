@@ -136,10 +136,88 @@ def nj_tree(D: np.ndarray, labels: Sequence[str]) -> Tree:
     return Tree(np.array(parent), np.array(length), list(labels), n)
 
 
+def _adjacency(tree: Tree) -> Dict[int, List[Tuple[int, float]]]:
+    """Undirected adjacency with branch lengths (treat tree as unrooted)."""
+    adj: Dict[int, List[Tuple[int, float]]] = {
+        v: [] for v in range(len(tree.parent))}
+    for v, p in enumerate(tree.parent):
+        if p >= 0:
+            w = float(tree.length[v])
+            adj[v].append((int(p), w))
+            adj[int(p)].append((v, w))
+    return adj
+
+
+def _farthest(adj, start: int, restrict_tips: Optional[int] = None
+              ) -> Tuple[int, float, Dict[int, Tuple[int, float]]]:
+    """Dijkstra-free DFS (trees have unique paths). Returns the farthest
+    node (a tip if restrict_tips is the tip count), its distance, and a
+    back-pointer map node -> (prev, edge_len)."""
+    dist = {start: 0.0}
+    prev: Dict[int, Tuple[int, float]] = {}
+    stack = [start]
+    while stack:
+        u = stack.pop()
+        for v, w in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + w
+                prev[v] = (u, w)
+                stack.append(v)
+    cands = ((d, n) for n, d in dist.items()
+             if restrict_tips is None or n < restrict_tips)
+    best_d, best_n = max(cands)
+    return best_n, best_d, prev
+
+
 def midpoint_root(tree: Tree) -> Tree:
-    """PD is invariant to root placement for the spanning-subtree measure
-    used here; midpoint rooting kept as identity for API parity."""
+    """Re-root at the midpoint of the longest tip-to-tip path
+    (phangorn::midpoint, used by phylo_anchor_filter.Rmd before PD)."""
+    n_tips = tree.n_tips
+    if n_tips < 2:
+        return tree
+    adj = _adjacency(tree)
+    a, _, _ = _farthest(adj, 0, n_tips)
+    b, diam, prev = _farthest(adj, a, n_tips)
+    if diam <= 0:
+        return tree
+    # walk back from b toward a accumulating length until >= diam/2
+    path = [b]
+    while path[-1] != a:
+        path.append(prev[path[-1]][0])
+    half = diam / 2.0
+    acc = 0.0
+    for k in range(len(path) - 1):
+        u, v = path[k], path[k + 1]          # edge u-v, walking b -> a
+        w = next(wt for nb, wt in adj[u] if nb == v)
+        if acc + w >= half - 1e-12:
+            # root lies on edge (u, v), at (half - acc) from u
+            du = half - acc
+            return _reroot_on_edge(tree, adj, u, v, du, w)
+        acc += w
     return tree
+
+
+def _reroot_on_edge(tree: Tree, adj, u: int, v: int, du: float,
+                    w: float) -> Tree:
+    """New root node splits edge (u,v): dist(root,u)=du, dist(root,v)=w-du."""
+    n_nodes = len(tree.parent)
+    root = n_nodes
+    parent = np.full(n_nodes + 1, -1, dtype=tree.parent.dtype)
+    length = np.zeros(n_nodes + 1, dtype=float)
+    # BFS from the new root over the unrooted topology
+    visited = {u, v}
+    parent[u], length[u] = root, max(du, 0.0)
+    parent[v], length[v] = root, max(w - du, 0.0)
+    stack = [u, v]
+    while stack:
+        x = stack.pop()
+        for y, wy in adj[x]:
+            if y in visited or (x in (u, v) and y in (u, v)):
+                continue
+            visited.add(y)
+            parent[y], length[y] = x, wy
+            stack.append(y)
+    return Tree(parent, length, list(tree.labels), tree.n_tips)
 
 
 def faith_pd(tree: Tree, tip_labels: Sequence[str]) -> float:
@@ -153,10 +231,17 @@ def faith_pd(tree: Tree, tip_labels: Sequence[str]) -> float:
     below = np.zeros(n_nodes, dtype=np.int64)
     for t in sel:
         below[t] = 1
-    # accumulate counts up the tree (children have smaller ids than
-    # internal nodes by construction)
-    order = np.argsort(np.arange(n_nodes))  # ids increase toward root
-    for v in order:
+    # accumulate counts up the tree in post-order (children before
+    # parents); node ids carry no order guarantee after re-rooting or
+    # newick parsing, so derive the order from depths.
+    depth = np.zeros(n_nodes, dtype=np.int64)
+    for v in range(n_nodes):
+        d, p = 0, tree.parent[v]
+        while p >= 0:
+            d += 1
+            p = tree.parent[p]
+        depth[v] = d
+    for v in np.argsort(-depth, kind="stable"):
         p = tree.parent[v]
         if p >= 0:
             below[p] += below[v]
@@ -166,6 +251,77 @@ def faith_pd(tree: Tree, tip_labels: Sequence[str]) -> float:
         if tree.parent[v] >= 0 and 0 < below[v] < total:
             pd += float(tree.length[v])
     return pd
+
+
+def parse_newick(text: str) -> Tree:
+    """Parse a newick string (FastTree output shape: unquoted labels,
+    ``(a:1,b:2)0.95:0.1;`` with optional internal support values) into a
+    Tree. Tips get ids 0..n_tips-1 in file order; internal nodes follow."""
+    text = text.strip()
+    if text.endswith(";"):
+        text = text[:-1]
+    pos = 0
+
+    def parse_clade():
+        nonlocal pos
+        children = []
+        label = ""
+        if pos < len(text) and text[pos] == "(":
+            pos += 1
+            while True:
+                children.append(parse_clade())
+                if text[pos] == ",":
+                    pos += 1
+                    continue
+                if text[pos] == ")":
+                    pos += 1
+                    break
+        # label (tip name, or internal support value — ignored for internal)
+        start = pos
+        while pos < len(text) and text[pos] not in ":,()":
+            pos += 1
+        label = text[start:pos].strip()
+        blen = 0.0
+        if pos < len(text) and text[pos] == ":":
+            pos += 1
+            start = pos
+            while pos < len(text) and text[pos] not in ",()":
+                pos += 1
+            blen = float(text[start:pos])
+        return {"children": children, "label": label, "length": blen}
+
+    root = parse_clade()
+    tips: List[dict] = []
+    internals: List[dict] = []
+
+    def collect(node):
+        if node["children"]:
+            internals.append(node)
+            for c in node["children"]:
+                collect(c)
+        else:
+            tips.append(node)
+
+    collect(root)
+    n_tips = len(tips)
+    ids: Dict[int, int] = {}
+    for k, t in enumerate(tips):
+        ids[id(t)] = k
+    for k, nd in enumerate(internals):
+        ids[id(nd)] = n_tips + k
+    n_nodes = n_tips + len(internals)
+    parent = np.full(n_nodes, -1, dtype=np.int64)
+    length = np.zeros(n_nodes, dtype=float)
+
+    def wire(node):
+        for c in node["children"]:
+            parent[ids[id(c)]] = ids[id(node)]
+            length[ids[id(c)]] = c["length"]
+            wire(c)
+
+    wire(root)
+    length[ids[id(root)]] = root["length"]
+    return Tree(parent, length, [t["label"] for t in tips], n_tips)
 
 
 def write_newick(tree: Tree, path: str):
@@ -192,8 +348,10 @@ def write_newick(tree: Tree, path: str):
 
 def build_tree(aligned_fasta: str, out_prefix: str,
                fasttree_bin: Optional[str] = None) -> Tree:
-    """FastTree when available (run_fasttree equivalent, :72-92), else NJ
-    on raw distances. Either way the result feeds faith_pd."""
+    """FastTree when available (run_fasttree equivalent,
+    phylo_anchor_filter.Rmd:72-92) — its newick is parsed and
+    midpoint-rooted so PD consumes the ML branch lengths; else NJ on raw
+    distances (documented substitution)."""
     recs = list(read_fasta(aligned_fasta))
     exe = fasttree_bin or shutil.which("fasttree") or shutil.which(
         "FastTree")
@@ -202,10 +360,11 @@ def build_tree(aligned_fasta: str, out_prefix: str,
         with open(aligned_fasta) as fin, open(out, "w") as fout:
             subprocess.run([exe, "-nt", "-gtr"], stdin=fin, stdout=fout,
                            check=True)
-        # parse minimal newick back into our structure is out of scope;
-        # fall through to NJ for PD computation consistency
+        with open(out) as fh:
+            tree = midpoint_root(parse_newick(fh.read()))
+        return tree
     M, labels = aln_matrix(recs)
     D = dist_matrix(M, "raw")
-    tree = nj_tree(D, labels)
+    tree = midpoint_root(nj_tree(D, labels))
     write_newick(tree, f"{out_prefix}_nj.nwk")
     return tree

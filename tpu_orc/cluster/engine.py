@@ -239,8 +239,13 @@ class AmpliconSorter:
                        ssg: float) -> List[SpeciesGroup]:
         cfg = self.cfg
         gset = set(gmembers)
+        # Both endpoints must be inside this gene group: the reference's
+        # read_indexes (:1341-1461) re-filters the stored similarities
+        # strictly within one gene group, so a read from another (or a
+        # dropped <=5-read) group that shares one >=ssg edge must not be
+        # unioned into this group's species components.
         mask = (edges.sim >= ssg) & np.fromiter(
-            ((int(i) in gset or int(j) in gset)
+            ((int(i) in gset and int(j) in gset)
              for i, j in zip(edges.i, edges.j)), bool, len(edges.i))
         kept = self._best_hit_filter(edges, mask)
         uf = UnionFind(len(self.codes))

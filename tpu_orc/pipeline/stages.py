@@ -135,6 +135,34 @@ def stage_rrna(cleaned_fasta: str, outdir: str, barcode: str,
                         barcode, exemplars_18s=ex18, exemplars_28s=ex28)
 
 
+def stage_reorganise_cois(outdir: str) -> Dict[str, str]:
+    """05b (05b_reorganise_COIs.sh:20-51): copy every
+    primerless/<sample>/[COIs/]cleaned*.fasta to
+    COI_gene/<sample>/<sample>_COI.fasta. Returns {sample: dest_path}."""
+    import glob
+    import shutil as _sh
+    workdir = os.path.join(outdir, "primerless")
+    dest_base = os.path.join(outdir, "COI_gene")
+    copied: Dict[str, str] = {}
+    # reference layout (<sample>/COIs/cleaned*.fasta) and our flat layout
+    patterns = [os.path.join(workdir, "*", "COIs", "cleaned*.fasta"),
+                os.path.join(workdir, "*", "cleaned*.fasta")]
+    for pat in patterns:
+        for src in sorted(glob.glob(pat)):
+            sample_path = os.path.dirname(src)
+            if os.path.basename(sample_path) == "COIs":
+                sample_path = os.path.dirname(sample_path)
+            sample = os.path.basename(sample_path)
+            if sample in copied:
+                continue
+            dest_dir = os.path.join(dest_base, sample)
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, f"{sample}_COI.fasta")
+            _sh.copyfile(src, dest)
+            copied[sample] = dest
+    return copied
+
+
 def run_all(in_fastq: str, outdir: str, dataset: str, amplicon: str,
             cfg: Optional[PipelineConfig] = None,
             prefix: str = "amplicons",
@@ -196,6 +224,12 @@ def run_all(in_fastq: str, outdir: str, dataset: str, amplicon: str,
                         st.count(n_contigs=len(clean))
                     rep_bc["rrna"] = {g: len(h) for g, h in hits.items()}
             report["barcodes"][comb] = rep_bc
+
+        if amplicon.upper() == "COI":
+            with met.stage("05b_reorganise_cois") as st:
+                copied = stage_reorganise_cois(outdir)
+                st.count(n_contigs=len(copied))
+            report["coi_gene"] = {"samples": len(copied)}
 
         summarize_barcode_dir(os.path.join(outdir, "sorted"),
                               os.path.join(outdir, "amplicon_summary.tsv"))

@@ -181,3 +181,49 @@ def test_ambiguous_consensus_iupac(rng):
     # the rest matches the template
     plain = cons.replace("Y", template[100])
     assert sim(plain, template) >= 0.995
+
+
+def test_native_pileup_matches_python_path(rng):
+    """The fused C++ pileup (native.pileup_batch) reproduces the Python
+    _align_rows + column_counts reference path bit-for-bit, including
+    merged/right-aligned insertion columns and the draft row's vote."""
+    from tpu_orc.cluster import consensus as C
+    for trial in range(8):
+        L = int(rng.integers(30, 350))
+        base = rng.integers(0, 4, size=L).astype(np.uint8)
+        reads = []
+        for _ in range(int(rng.integers(0, 18))):
+            s = list(base)
+            for _ in range(int(rng.integers(0, max(2, L // 6)))):
+                op = int(rng.integers(0, 3))
+                p = int(rng.integers(0, len(s)))
+                if op == 0:
+                    s[p] = int(rng.integers(0, 5))
+                elif op == 1 and len(s) > 1:
+                    del s[p]
+                else:
+                    s.insert(p, int(rng.integers(0, 5)))
+            reads.append(np.array(s, np.uint8))
+        a = C.pileup_counts(base, reads, backend="python")
+        b = C.pileup_counts(base, reads, backend="native")
+        assert a.shape == b.shape
+        assert (a == b).all()
+
+
+def test_nw_dist_batch_matches_singles(rng):
+    from tpu_orc import native
+    q = rng.integers(0, 4, size=200).astype(np.uint8)
+    seqs = [rng.integers(0, 4, size=int(rng.integers(50, 400))
+                         ).astype(np.uint8) for _ in range(15)]
+    d = native.nw_dist_batch(q, seqs)
+    for k, s in enumerate(seqs):
+        assert d[k] == native.edit_distance(q, s)
+
+
+def test_all_vs_all_threaded_matches_single(rng):
+    from tpu_orc import native
+    seqs = [rng.integers(0, 4, size=int(rng.integers(100, 200))
+                         ).astype(np.uint8) for _ in range(20)]
+    d1 = native.all_vs_all(seqs, band=1.05, nthreads=1)
+    d2 = native.all_vs_all(seqs, band=1.05, nthreads=4)
+    assert (d1 == d2).all()

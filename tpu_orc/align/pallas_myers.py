@@ -181,16 +181,140 @@ def myers_tile_pallas(peq_packed, m_lens, texts_T, n_lens,
     )(peq_packed, m_lens, texts_T, n_lens)
 
 
+def _kernel_pairs(mode, W, TI, TJ, N, unroll, ti_ref, tj_ref, *rest):
+    # scalar-prefetch refs select the blocks (used by the index_maps
+    # only); the DP body is identical to the dense-grid kernel
+    del ti_ref, tj_ref
+    _kernel(mode, W, TI, TJ, N, unroll, *rest)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "W", "TI", "TJ", "interpret",
+                                    "unroll"))
+def myers_tile_pallas_pairs(tile_i, tile_j, peq_packed, m_lens, texts_T,
+                            n_lens, mode: str = "NW", W: int = 32,
+                            TI: int = 128, TJ: int = 128,
+                            interpret: bool = False, unroll: bool = True):
+    """Sparse-tile variant: one device program over an explicit list of
+    (pattern-tile, text-tile) pairs instead of the dense 2-D grid.
+
+    tile_i/tile_j [G] int32 are scalar-prefetched tile coordinates; the
+    g-th program computes the [TI, TJ] block (tile_i[g], tile_j[g]) of
+    the distance matrix. Blocks not listed are never computed (their
+    output region is unspecified — callers must mask). This turns the
+    gene-stage upper-triangle + length-band tile skipping into a single
+    dispatch (the reference's .todo pair streaming, SURVEY.md §2.4,
+    collapsed into one device program)."""
+    P = peq_packed.shape[0]
+    T = texts_T.shape[1]
+    N = texts_T.shape[0]
+    G = tile_i.shape[0]
+    kernel = functools.partial(_kernel_pairs, mode, W, TI, TJ, N, unroll)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((TI, W * NCHAN), lambda g, ti, tj: (ti[g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, 1), lambda g, ti, tj: (ti[g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, TJ), lambda g, ti, tj: (0, tj[g]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TJ), lambda g, ti, tj: (0, tj[g]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TI, TJ), lambda g, ti, tj: (ti[g], tj[g]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, TJ), lambda g, ti, tj: (ti[g], tj[g]),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, TI, TJ), jnp.uint32),
+            pltpu.VMEM((W, TI, TJ), jnp.uint32),
+            pltpu.VMEM((TI, TJ), jnp.int32),
+            pltpu.VMEM((TI, TJ), jnp.int32),
+            pltpu.VMEM((TI, TJ), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((P, T), jnp.int32),
+            jax.ShapeDtypeStruct((P, T), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tile_i, tile_j, peq_packed, m_lens, texts_T, n_lens)
+
+
+def distances_pallas_pairs(patterns_codes: np.ndarray, m_lens: np.ndarray,
+                           texts_codes: np.ndarray, n_lens: np.ndarray,
+                           tile_pairs: np.ndarray, mode: str = "NW",
+                           TI: int | None = None, TJ: int | None = None,
+                           interpret: bool = False, unroll: bool = True):
+    """Host wrapper for the sparse-tile kernel. ``tile_pairs`` is
+    [G, 2] int32 of (pattern-tile, text-tile) indices at the (TI, TJ)
+    granularity this function selects (returned alongside the result so
+    callers can enumerate tiles consistently: call tile_shape() first).
+    Returns lazy jax arrays (dist, pos) [P, T]; unlisted blocks hold
+    unspecified values."""
+    P0 = patterns_codes.shape[0]
+    T0 = texts_codes.shape[0]
+    W = max(1, -(-int(patterns_codes.shape[1]) // WORD))
+    TI, TJ = tile_shape(W, TI, TJ)
+    P = -(-P0 // TI) * TI
+    T = -(-T0 // TJ) * TJ
+    m = np.ones((P, 1), np.int32)
+    m[:P0, 0] = np.asarray(m_lens, np.int32)
+    peq = np.zeros((P, W * NCHAN), np.uint32)
+    peq[:P0] = build_peq_packed(np.asarray(patterns_codes), m_lens, W)
+    N = texts_codes.shape[1]
+    tt = np.full((N, T), 5, np.int32)
+    tt[:, :T0] = np.asarray(texts_codes, np.int32).T
+    nl = np.ones((1, T), np.int32)
+    nl[0, :T0] = np.asarray(n_lens, np.int32)
+    # pad the pair list to a power-of-2 bucket (repeat the last tile:
+    # grid programs run sequentially, so re-writing a block is just
+    # wasted work, not a race) to bound the number of jit shapes
+    G0 = tile_pairs.shape[0]
+    G = 1
+    while G < G0:
+        G *= 2
+    ti = np.empty(G, np.int32)
+    tj = np.empty(G, np.int32)
+    ti[:G0] = tile_pairs[:, 0]
+    tj[:G0] = tile_pairs[:, 1]
+    ti[G0:] = tile_pairs[-1, 0]
+    tj[G0:] = tile_pairs[-1, 1]
+    d, p = myers_tile_pallas_pairs(jnp.asarray(ti), jnp.asarray(tj),
+                                   jnp.asarray(peq), jnp.asarray(m),
+                                   jnp.asarray(tt), jnp.asarray(nl),
+                                   mode, W, TI, TJ, interpret, unroll)
+    return d, p
+
+
+def tile_shape(W: int, TI: int | None = None, TJ: int | None = None):
+    """Measured-best tile per word count (v5e sweep, BENCH.md)."""
+    if TI is None:
+        TI = 64 if W <= 24 else 32
+    if TJ is None:
+        TJ = 256 if W <= 24 else 128
+    return TI, TJ
+
+
 def distances_pallas(patterns_codes: np.ndarray, m_lens: np.ndarray,
                      texts_codes: np.ndarray, n_lens: np.ndarray,
                      mode: str = "NW", TI: int | None = None,
                      TJ: int | None = None,
-                     interpret: bool = False, unroll: bool = True):
+                     interpret: bool = False, unroll: bool = True,
+                     fetch_pos: bool = True):
     """Host wrapper mirroring align.myers.distances_with_pos, padding to
     tile multiples. TI/TJ default to the measured-best tile per word
     count (v5e sweep, BENCH.md): 64x256 for short reads (W<=24, i.e.
     <=768 bp), 32x128 for long ones (bounds the [2, W, TI, TJ] uint32
-    scratch VMEM)."""
+    scratch VMEM). fetch_pos=False skips the device->host transfer of
+    the position matrix (NW callers never read it) and returns None."""
     P0 = patterns_codes.shape[0]
     T0 = texts_codes.shape[0]
     W = max(1, -(-int(patterns_codes.shape[1]) // WORD))
@@ -212,4 +336,5 @@ def distances_pallas(patterns_codes: np.ndarray, m_lens: np.ndarray,
     d, p = myers_tile_pallas(jnp.asarray(peq), jnp.asarray(m),
                              jnp.asarray(tt), jnp.asarray(nl),
                              mode, W, TI, TJ, interpret, unroll)
-    return np.asarray(d)[:P0, :T0], np.asarray(p)[:P0, :T0]
+    return (np.asarray(d)[:P0, :T0],
+            np.asarray(p)[:P0, :T0] if fetch_pos else None)

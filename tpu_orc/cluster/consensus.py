@@ -16,6 +16,7 @@ ACGT/N, so literal code comparison is equivalent.
 """
 from __future__ import annotations
 
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -24,6 +25,10 @@ from .. import native
 from ..io import encode
 
 GAP = 255  # gap marker in alignment matrices
+
+# 'native' = fused threaded C++ pileup; 'python' = original _align_rows
+# reference path (kept for parity tests and debugging).
+PILEUP_BACKEND = os.environ.get("ORC_PILEUP_BACKEND", "native")
 
 
 def _decode_ops(ops: np.ndarray, q: np.ndarray):
@@ -110,11 +115,36 @@ def column_counts(aln: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     counts = np.zeros((W, 5), dtype=np.int64)
     for sym in range(5):
         counts[:, sym] = (aln == sym).sum(axis=0)
+    return top2_from_counts(counts)
+
+
+def top2_from_counts(counts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(top1, top2) base/count pairs from a [W, 5] counts matrix (same
+    tie-break as column_counts)."""
     order = np.argsort(-counts, axis=1, kind="stable")
     top_bases = order[:, :2].astype(np.int16)
     top_counts = np.take_along_axis(counts, order[:, :2], axis=1)
     top_bases[top_counts == 0] = -1
     return top_bases, top_counts
+
+
+def pileup_counts(consensus_codes: np.ndarray,
+                  reads: Sequence[np.ndarray],
+                  backend: str = "native") -> np.ndarray:
+    """Per-column base counts [W, 5] of the star alignment of ``reads``
+    against the draft (draft row included). backend='native' runs the
+    fused threaded C++ pileup (one crossing per group); 'python' keeps
+    the original _align_rows path — both are parity-tested."""
+    if backend == "native":
+        return native.pileup_batch(
+            [np.ascontiguousarray(q, dtype=np.uint8) for q in reads],
+            np.asarray(consensus_codes, dtype=np.uint8)).astype(np.int64)
+    aln = _align_rows(np.asarray(consensus_codes), list(reads))
+    W = aln.shape[1]
+    counts = np.zeros((W, 5), dtype=np.int64)
+    for sym in range(5):
+        counts[:, sym] = (aln == sym).sum(axis=0)
+    return counts
 
 
 def _homopolymersort(entries: List[Tuple[int, int, int, int]]):
@@ -180,14 +210,13 @@ def _build_consensus_impl(read_codes: Sequence[np.ndarray],
         reads = first_pass_reads if pi == 0 else rl
         if len(consensus) == 0:
             consensus = np.asarray(rl[0], dtype=np.uint8)
-        aln = _align_rows(consensus, reads)
-        c = aln.shape[0]  # rows incl. draft row (reference counts it too)
-        tb, tc = column_counts(aln)
-        entries = []
-        for w in range(aln.shape[1]):
-            if tb[w, 0] >= 0 and tc[w, 0] > c * 0.10:
-                entries.append((int(tb[w, 0]), int(tc[w, 0]),
-                                int(tb[w, 1]), int(tc[w, 1])))
+        counts = pileup_counts(consensus, reads, backend=PILEUP_BACKEND)
+        c = len(reads) + 1  # rows incl. draft (reference counts it too)
+        tb, tc = top2_from_counts(counts)
+        keep = (tb[:, 0] >= 0) & (tc[:, 0] > c * 0.10)
+        entries = [(int(b0), int(c0), int(b1), int(c1))
+                   for b0, c0, b1, c1 in zip(tb[keep, 0], tc[keep, 0],
+                                             tb[keep, 1], tc[keep, 1])]
         entries = _homopolymersort(entries)
         consensus = np.asarray([e[0] for e in entries if e[1] > c * thr],
                                dtype=np.uint8)

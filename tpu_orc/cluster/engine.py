@@ -171,12 +171,16 @@ class AmpliconSorter:
                          ) -> List[Tuple[int, int, float]]:
         """Per target j keep the max-sim edge (ties -> larger i), the
         reference's best-hit dedup (:1010-1021, :1392-1407)."""
-        best: Dict[int, Tuple[float, int]] = {}
-        for i, j, s in zip(edges.i[mask], edges.j[mask], edges.sim[mask]):
-            cur = best.get(int(j))
-            if cur is None or (s, i) > cur:
-                best[int(j)] = (float(s), int(i))
-        return [(i, j, s) for j, (s, i) in sorted(best.items())]
+        ii, jj, ss = edges.i[mask], edges.j[mask], edges.sim[mask]
+        if len(jj) == 0:
+            return []
+        # lexsort: primary j asc, then sim asc, then i asc -> the last row
+        # of each j-run is its (max sim, max i) winner
+        order = np.lexsort((ii, ss, jj))
+        ii, jj, ss = ii[order], jj[order], ss[order]
+        last = np.r_[jj[1:] != jj[:-1], True]
+        return [(int(i), int(j), float(s))
+                for i, j, s in zip(ii[last], jj[last], ss[last])]
 
     def _gene_groups(self, edges: PairHits, n: int) -> List[List[int]]:
         kept = self._best_hit_filter(edges,
@@ -238,15 +242,14 @@ class AmpliconSorter:
     def _species_stage(self, gmembers: List[int], edges: PairHits,
                        ssg: float) -> List[SpeciesGroup]:
         cfg = self.cfg
-        gset = set(gmembers)
+        gm = np.asarray(gmembers)
         # Both endpoints must be inside this gene group: the reference's
         # read_indexes (:1341-1461) re-filters the stored similarities
         # strictly within one gene group, so a read from another (or a
         # dropped <=5-read) group that shares one >=ssg edge must not be
         # unioned into this group's species components.
-        mask = (edges.sim >= ssg) & np.fromiter(
-            ((int(i) in gset and int(j) in gset)
-             for i, j in zip(edges.i, edges.j)), bool, len(edges.i))
+        mask = ((edges.sim >= ssg) & np.isin(edges.i, gm)
+                & np.isin(edges.j, gm))
         kept = self._best_hit_filter(edges, mask)
         uf = UnionFind(len(self.codes))
         touched = set()
@@ -361,9 +364,10 @@ class AmpliconSorter:
                 sample_idx = sorted(self.rng.choice(len(members), 100,
                                                     replace=False))
             first = codes[sample_idx[0]]
-            scored = []
-            for k in sample_idx[1:]:
-                scored.append((self._nw_sim(first, codes[k]), k))
+            rest_k = sample_idx[1:]
+            scored = list(zip(self._nw_sim_batch(first,
+                                                 [codes[k] for k in rest_k]),
+                              rest_k))
             scored.sort(key=lambda x: x[0])
             if len(scored) < 4:
                 continue
@@ -390,7 +394,7 @@ class AmpliconSorter:
                 # re-score the remainder against the second consensus
                 if len(rest) > 5:
                     rest_codes = [self.codes[i] for i in rest]
-                    rs = [self._nw_sim(c2, rc) for rc in rest_codes]
+                    rs = self._nw_sim_batch(c2, rest_codes)
                     keep2 = [i for i, sc in zip(rest, rs) if sc >= ft]
                     if len(keep2) >= 5:
                         add_groups.append(
@@ -405,7 +409,7 @@ class AmpliconSorter:
         consensus = seed_codes
         scores = [0.0] * len(member_codes)
         for _ in range(max_cycles):
-            scores = [self._nw_sim(consensus, c) for c in member_codes]
+            scores = self._nw_sim_batch(consensus, member_codes)
             order = np.argsort(scores, kind="stable")
             good = [k for k in order if scores[k] > 0.94]
             if len(good) < 20:
@@ -416,7 +420,7 @@ class AmpliconSorter:
             consensus = new_c
             if iden >= 1.0:
                 break
-        scores = [self._nw_sim(consensus, c) for c in member_codes]
+        scores = self._nw_sim_batch(consensus, member_codes)
         return consensus, scores
 
     def _nw_sim(self, a_codes, b_codes) -> float:
@@ -425,3 +429,15 @@ class AmpliconSorter:
         d = native.edit_distance(np.asarray(a_codes, np.uint8),
                                  np.asarray(b_codes, np.uint8))
         return round(1 - d / max(len(a_codes), len(b_codes)), 3)
+
+    def _nw_sim_batch(self, a_codes, codes_list) -> List[float]:
+        """One-vs-many _nw_sim in a single threaded native crossing."""
+        if len(a_codes) == 0 or not codes_list:
+            return [0.0] * len(codes_list)
+        d = native.nw_dist_batch(np.asarray(a_codes, np.uint8),
+                                 [np.asarray(c, np.uint8)
+                                  for c in codes_list])
+        la = len(a_codes)
+        return [0.0 if len(c) == 0
+                else round(1 - di / max(la, len(c)), 3)
+                for di, c in zip(d, codes_list)]

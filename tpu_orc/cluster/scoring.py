@@ -77,7 +77,8 @@ class DeviceScorer:
         otherwise (identical semantics, parity-tested)."""
         if self.backend == "pallas":
             from ..align.pallas_myers import distances_pallas
-            d, _ = distances_pallas(pat, plens, txt, tlens, "NW")
+            d, _ = distances_pallas(pat, plens, txt, tlens, "NW",
+                                    fetch_pos=False)
             return d
         return myers.distances(pat, plens, txt, tlens, "NW")
 
@@ -96,51 +97,51 @@ class DeviceScorer:
             return PairHits(z.astype(int), z.astype(int), z, z.astype(bool))
         if self.backend == "native":
             return self._allvsall_native(codes_list, band, keep_threshold)
-        packed, lens = pack_codes(codes_list)
+        from ..align.pallas_myers import (WORD, distances_pallas_pairs,
+                                          tile_shape)
+        # bucket the row count so jit shapes quantize across bins
+        NB = _count_cap(n)
+        packed, lens = pack_codes(codes_list, count_cap=NB)
         rc_codes = [encode.revcomp_codes(np.asarray(c)) for c in codes_list]
-        packed_rc, _ = pack_codes(rc_codes, cap=packed.shape[1])
-        T = self.tile
-        ii: List[np.ndarray] = []
-        jj: List[np.ndarray] = []
-        ss: List[np.ndarray] = []
-        rr: List[np.ndarray] = []
-        for a0 in range(0, n, T):
-            a1 = min(a0 + T, n)
-            pat, plens = pack_codes(codes_list[a0:a1], cap=packed.shape[1],
-                                    count_cap=T)
-            for b0 in range(a0, n, T):
-                b1 = min(b0 + T, n)
-                # band gate: if no pair in the tile survives, skip it
-                lo = np.minimum.outer(plens[:a1 - a0], lens[b0:b1])
-                hi = np.maximum.outer(plens[:a1 - a0], lens[b0:b1])
-                tri = (np.add.outer(np.arange(a0, a1), np.zeros(b1 - b0,
-                       dtype=int)) < np.arange(b0, b1)[None, :])
-                gate = tri & (lo * band >= hi)
-                if not gate.any():
-                    continue
-                txt = np.concatenate([packed[b0:b1], packed_rc[b0:b1]])
-                tl = np.concatenate([lens[b0:b1], lens[b0:b1]])
-                txt_p, tl_p = _pad_rows(txt, tl, 2 * T)
-                D = self._tile_distances(pat, plens, txt_p, tl_p)
-                self.pairs_scored += int(gate.sum()) * 2
-                nb = b1 - b0
-                Df, Dr = D[:, :nb], D[:, nb:2 * nb]  # rc block starts at nb
-                longer = np.maximum(plens[:a1 - a0, None], lens[None, b0:b1])
-                sf = np.round(1.0 - Df[:a1 - a0] / longer, 3)
-                sr = np.round(1.0 - Dr[:a1 - a0] / longer, 3)
-                eff = np.where(sf < 0.5, np.maximum(sf, sr), sf)
-                rev = (sf < 0.5) & (sr > sf)
-                keep = gate & (eff >= keep_threshold)
-                ai, bi = np.nonzero(keep)
-                ii.append(ai + a0)
-                jj.append(bi + b0)
-                ss.append(eff[keep])
-                rr.append(rev[keep])
-        if not ii:
+        packed_rc, _ = pack_codes(rc_codes, cap=packed.shape[1],
+                                  count_cap=NB)
+        texts = np.concatenate([packed, packed_rc])        # fwd block | rc
+        tlens = np.concatenate([lens, lens])
+        # upper-triangle + 5% length gate, applied per (TI, TJ) tile: only
+        # surviving tiles are listed -> ONE device dispatch for the block
+        lo = np.minimum.outer(lens[:n], lens[:n])
+        hi = np.maximum.outer(lens[:n], lens[:n])
+        tri = np.arange(n)[:, None] < np.arange(n)[None, :]
+        gate = tri & (lo * band >= hi)                     # [n, n] fwd gate
+        if not gate.any():
             z = np.zeros(0)
             return PairHits(z.astype(int), z.astype(int), z, z.astype(bool))
-        return PairHits(np.concatenate(ii), np.concatenate(jj),
-                        np.concatenate(ss), np.concatenate(rr))
+        if self.backend == "pallas":
+            W = max(1, -(-packed.shape[1] // WORD))
+            TI, TJ = tile_shape(W)
+            P = -(-NB // TI) * TI
+            T = -(-2 * NB // TJ) * TJ
+            gfull = np.zeros((P, T), bool)
+            gfull[:n, :n] = gate
+            gfull[:n, NB:NB + n] = gate   # rc block starts at texts row NB
+            need = gfull.reshape(P // TI, TI, T // TJ, TJ).any(axis=(1, 3))
+            pairs = np.argwhere(need).astype(np.int32)
+            d, _ = distances_pallas_pairs(packed, lens, texts, tlens,
+                                          pairs, "NW", TI=TI, TJ=TJ)
+            D = np.asarray(d)      # one fetch (pos stays on device)
+        else:  # XLA scan path (CPU/virtual-mesh tests), dense block
+            D = np.asarray(myers.distances(packed, lens, texts, tlens,
+                                           "NW"))
+        gi, gj = np.nonzero(gate)          # work on gated pairs only
+        self.pairs_scored += 2 * len(gi)
+        longer = hi[gi, gj].astype(np.float64)
+        sf = np.round(1.0 - D[gi, gj] / longer, 3)
+        sr = np.round(1.0 - D[gi, NB + gj] / longer, 3)
+        low = sf < 0.5
+        eff = np.where(low, np.maximum(sf, sr), sf)
+        rev = low & (sr > sf)
+        keep = eff >= keep_threshold
+        return PairHits(gi[keep], gj[keep], eff[keep], rev[keep])
 
     def _allvsall_native(self, codes_list, band, keep_threshold) -> PairHits:
         from .. import native

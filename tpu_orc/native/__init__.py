@@ -38,7 +38,7 @@ def lib() -> ctypes.CDLL:
                                     ctypes.c_int]
     L.orc_edit_distance.restype = ctypes.c_int
     L.orc_all_vs_all.argtypes = [u8p, i64p, i32p, ctypes.c_int,
-                                 ctypes.c_double, i32p]
+                                 ctypes.c_double, i32p, ctypes.c_int]
     L.orc_all_vs_all.restype = ctypes.c_long
     L.orc_locate.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int,
                              ctypes.c_double, ctypes.c_int, ctypes.c_int,
@@ -47,18 +47,25 @@ def lib() -> ctypes.CDLL:
     L.orc_locate_batch.argtypes = [u8p, i32p, i32p, ctypes.c_int,
                                    u8p, i64p, i32p, ctypes.c_int,
                                    ctypes.c_double, ctypes.c_int,
-                                   ctypes.c_int, i32p, u8p]
+                                   ctypes.c_int, i32p, u8p, ctypes.c_int]
     L.orc_locate_batch.restype = None
     L.orc_nw_path.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int,
                               ctypes.c_int, u8p, ctypes.c_int]
     L.orc_nw_path.restype = ctypes.c_int
     L.orc_nw_path_batch.argtypes = [u8p, i64p, i32p, ctypes.c_int,
                                     u8p, ctypes.c_int,
-                                    u8p, ctypes.c_int, i32p]
+                                    u8p, ctypes.c_int, i32p, ctypes.c_int]
     L.orc_nw_path_batch.restype = None
     L.orc_orient_batch.argtypes = [u8p, ctypes.c_int, u8p, i64p, i32p,
-                                   ctypes.c_int, i32p, i32p]
+                                   ctypes.c_int, i32p, i32p, ctypes.c_int]
     L.orc_orient_batch.restype = None
+    L.orc_pileup_batch.argtypes = [u8p, i64p, i32p, ctypes.c_int,
+                                   u8p, ctypes.c_int, i32p, ctypes.c_int,
+                                   ctypes.c_int]
+    L.orc_pileup_batch.restype = ctypes.c_long
+    L.orc_nw_dist_batch.argtypes = [u8p, ctypes.c_int, u8p, i64p, i32p,
+                                    ctypes.c_int, i32p, ctypes.c_int]
+    L.orc_nw_dist_batch.restype = None
     _lib = L
     return L
 
@@ -75,9 +82,12 @@ def edit_distance(a_codes: np.ndarray, b_codes: np.ndarray,
     return lib().orc_edit_distance(a, len(a), b, len(b), modes[mode])
 
 
-def all_vs_all(codes_list, band: float = 1.05) -> np.ndarray:
+def all_vs_all(codes_list, band: float = 1.05,
+               nthreads: int = 0) -> np.ndarray:
     """Upper-triangle NW distance matrix with the 5% length gate; -1 where
-    gated. Mirrors amplicon_sorter's pair enumeration (:680)."""
+    gated. Mirrors amplicon_sorter's pair enumeration (:680).
+    nthreads 0 = auto (ORC_THREADS env or hardware); 1 = single-core
+    (the bench baseline mode)."""
     n = len(codes_list)
     seqs = np.concatenate([np.ascontiguousarray(c, dtype=np.uint8)
                            for c in codes_list])
@@ -85,7 +95,7 @@ def all_vs_all(codes_list, band: float = 1.05) -> np.ndarray:
     offs = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=offs[1:])
     out = np.full((n, n), -1, dtype=np.int32)
-    lib().orc_all_vs_all(seqs, offs, lens, n, float(band), out)
+    lib().orc_all_vs_all(seqs, offs, lens, n, float(band), out, nthreads)
     return out
 
 
@@ -100,7 +110,7 @@ def locate(ref_masks: np.ndarray, qry_masks: np.ndarray, e: float,
 
 
 def locate_batch(ref_masks_list, qry_masks_list, e: float, flags: int,
-                 min_overlap: int = 3):
+                 min_overlap: int = 3, nthreads: int = 0):
     A, B = len(ref_masks_list), len(qry_masks_list)
     refs = np.concatenate([np.ascontiguousarray(r, np.uint8)
                            for r in ref_masks_list])
@@ -117,7 +127,7 @@ def locate_batch(ref_masks_list, qry_masks_list, e: float, flags: int,
     valid = np.zeros((B, A), np.uint8)
     lib().orc_locate_batch(refs, roffs, rlens, A, qrys, qoffs, qlens, B,
                            e, int(flags), min_overlap,
-                           out.reshape(-1), valid.reshape(-1))
+                           out.reshape(-1), valid.reshape(-1), nthreads)
     return out, valid.astype(bool)
 
 
@@ -146,10 +156,49 @@ def nw_path_batch(codes_list, cons_codes: np.ndarray):
     ops = np.zeros((n, stride), np.uint8)
     nops = np.zeros(n, np.int32)
     lib().orc_nw_path_batch(seqs, offs, lens, n, cons, len(cons),
-                            ops.reshape(-1), stride, nops)
+                            ops.reshape(-1), stride, nops, 0)
     if (nops < 0).any():
         raise RuntimeError("nw_path_batch band overflow")
     return [ops[i, :nops[i]] for i in range(n)]
+
+
+def pileup_batch(codes_list, cons_codes: np.ndarray,
+                 nthreads: int = 0) -> np.ndarray:
+    """Fused star-alignment pileup: per-column base counts [W, 5] over
+    reads aligned to ``cons_codes`` (draft row included in the votes),
+    in the exact column layout of consensus._align_rows. One ctypes
+    crossing, NW paths threaded."""
+    cons = np.ascontiguousarray(cons_codes, dtype=np.uint8)
+    n = len(codes_list)
+    if n == 0:
+        counts = np.zeros((len(cons), 5), np.int32)
+        counts[np.arange(len(cons)), cons.astype(int)] = 1
+        return counts
+    seqs, offs, lens = _concat(codes_list)
+    capw = int(lens.max()) + 2 * len(cons) + 16
+    counts = np.zeros((capw, 5), np.int32)
+    w = lib().orc_pileup_batch(seqs, offs, lens, n, cons, len(cons),
+                               counts.reshape(-1), capw, nthreads)
+    if w < 0:  # width exceeded the cap: retry with the worst-case bound
+        capw = int(lens.sum()) + len(cons) + 16
+        counts = np.zeros((capw, 5), np.int32)
+        w = lib().orc_pileup_batch(seqs, offs, lens, n, cons, len(cons),
+                                   counts.reshape(-1), capw, nthreads)
+        if w < 0:
+            raise RuntimeError("pileup_batch width overflow")
+    return counts[:w]
+
+
+def nw_dist_batch(q_codes: np.ndarray, codes_list,
+                  nthreads: int = 0) -> np.ndarray:
+    """NW distances of one query vs each sequence (threaded batch)."""
+    q = np.ascontiguousarray(q_codes, dtype=np.uint8)
+    n = len(codes_list)
+    d = np.zeros(n, np.int32)
+    if n:
+        seqs, offs, lens = _concat(codes_list)
+        lib().orc_nw_dist_batch(q, len(q), seqs, offs, lens, n, d, nthreads)
+    return d
 
 
 def orient_batch(first_codes: np.ndarray, codes_list):
@@ -162,7 +211,7 @@ def orient_batch(first_codes: np.ndarray, codes_list):
     if n:
         seqs, offs, lens = _concat(codes_list)
         lib().orc_orient_batch(first, len(first), seqs, offs, lens, n,
-                               d_f, d_r)
+                               d_f, d_r, 0)
     return d_f, d_r
 
 

@@ -223,3 +223,59 @@ def test_reorganise_cois(tmp_path):
     p2 = tmp_path / "COI_gene" / "SP27_002_SP5_001" / \
         "SP27_002_SP5_001_COI.fasta"
     assert p2.read_text() == ">c2\nTTAA\n"
+
+
+def test_run_all_rna_stage05_default(tmp_path, rng):
+    """run_all on an RNA dataset runs stage 05 OUT OF THE BOX (no model
+    files): contigs split at the universal junction anchors into
+    rRNA_genes/<bin>_18S.fa / _28S.fa (VERDICT r1 missing#3)."""
+    from tpu_orc.demux.adapters import AdapterBank
+    from tpu_orc.demux.primer_clean import parse_primer_pairs
+    from tpu_orc.pipeline.stages import run_all
+    from tpu_orc.rrna.anchors import ANCHOR_18S_END, ANCHOR_28S_START
+    from tpu_orc.io import encode
+
+    REF = "/root/reference/adapters_primers"
+    sp5 = AdapterBank.from_fasta(f"{REF}/M13_amplicon_indices_forward.fa",
+                                 0.1)
+    sp27 = AdapterBank.from_fasta(f"{REF}/M13_amplicon_indices_reverse_rc.fa",
+                                  0.1)
+    pairs = parse_primer_pairs(f"{REF}/RNA_primers.fa")
+    pa = pairs[0]
+
+    def conc(s):
+        tab = {"R": "AG", "Y": "CT", "S": "GC", "W": "AT", "K": "GT",
+               "M": "AC"}
+        return "".join(str(rng.choice(list(tab.get(c, c)))) for c in s)
+
+    def pad(n):
+        return "".join(rng.choice(list("ACGT"), size=n))
+
+    def noisy(s, k):
+        s = list(s)
+        for _ in range(k):
+            s[int(rng.integers(0, len(s)))] = str(rng.choice(list("ACGT")))
+        return "".join(s)
+
+    gene = (pad(500) + ANCHOR_18S_END + pad(260)
+            + ANCHOR_28S_START + pad(600))
+    recs = []
+    for i in range(24):
+        insert = conc(pa.fwd) + noisy(gene, 25) + conc(pa.rev)
+        s = sp5.seqs[0] + insert + sp27.seqs[0]
+        if i % 2:
+            s = encode.revcomp(s)
+        recs.append(Record(f"r{i}", f"r{i}", s, "I" * len(s)))
+    fq = tmp_path / "rna.fastq"
+    write_records(str(fq), recs, fmt="fastq")
+    rep = run_all(str(fq), str(tmp_path / "out"), "rnatest", "RNA")
+    (bc,) = rep["barcodes"].keys()
+    assert rep["barcodes"][bc]["rrna"]["18S"] >= 1
+    assert rep["barcodes"][bc]["rrna"]["28S"] >= 1
+    g18 = tmp_path / "out" / "rRNA_genes" / f"{bc}_18S.fa"
+    g28 = tmp_path / "out" / "rRNA_genes" / f"{bc}_28S.fa"
+    assert g18.exists() and g28.exists()
+    seq18 = "".join(g18.read_text().splitlines()[1:])
+    # the 18S segment ends at/near the junction anchor (cons may differ
+    # by a base or two from the template)
+    assert abs(len(seq18) - (500 + len(ANCHOR_18S_END))) <= 6

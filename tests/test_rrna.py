@@ -221,3 +221,108 @@ def test_hmmer3_realistic_euk_file(tmp_path, rng):
     assert h2.seq == motif28
     assert (tmp_path / "BC07_18S.fa").exists()
     assert (tmp_path / "BC07_28S.fa").exists()
+
+
+def test_viterbi_position_dependent_dd_host_parity(rng):
+    """The device Viterbi's D-chain prefix scan must be exact for
+    POSITION-DEPENDENT DD transitions (HMMER3 models have per-node DD;
+    VERDICT r1 weak#3). Parity vs the naive float64 host Viterbi on a
+    model with varying transitions and reads that force deletion runs."""
+    from tpu_orc.rrna.hmm import ProfileHMM, viterbi_host, viterbi_scan
+
+    K = 48
+    motif = rng.integers(0, 4, size=K)
+    match = np.full((K, 4), np.log(0.05 / 3 / 0.25))
+    match[np.arange(K), motif] = np.log(0.95 / 0.25)
+    # per-node transitions: DD varies widely node to node
+    t = np.zeros((K, 7))
+    t[:, 0] = np.log(rng.uniform(0.90, 0.98, K))             # MM
+    t[:, 1] = np.log(rng.uniform(0.005, 0.03, K))            # MI
+    t[:, 2] = np.log(rng.uniform(0.005, 0.06, K))            # MD
+    t[:, 3] = np.log(rng.uniform(0.5, 0.8, K))               # IM
+    t[:, 4] = np.log(rng.uniform(0.2, 0.5, K))               # II
+    t[:, 5] = np.log(rng.uniform(0.6, 0.95, K))              # DM
+    t[:, 6] = np.log(rng.uniform(0.05, 0.7, K))              # DD (varying!)
+    t[-1, 2] = -1e9  # last-node m->d forbidden (HMMER '*')
+    t[-1, 6] = -1e9  # last-node d->d forbidden -> exercises the clamp
+    prof = ProfileHMM("dd_test", match, t)
+
+    L = 96
+    seqs = np.full((6, L), 4, np.uint8)
+    lens = np.zeros(6, np.int32)
+    for b in range(6):
+        s = list(motif)
+        if b % 2:  # delete a run of 5 model positions -> D-chain path
+            d0 = int(rng.integers(5, K - 12))
+            del s[d0:d0 + 5]
+        pre = list(rng.integers(0, 4, size=int(rng.integers(0, 12))))
+        post = list(rng.integers(0, 4, size=int(rng.integers(0, 12))))
+        full = (pre + s + post)[:L]
+        seqs[b, :len(full)] = full
+        lens[b] = len(full)
+    score, pos, node = viterbi_scan(prof, seqs, lens)
+    for b in range(6):
+        hs, hp, hn = viterbi_host(prof, seqs[b, :lens[b]])
+        assert abs(score[b] - hs) < 2e-2, (b, score[b], hs)
+        assert pos[b] == hp and node[b] == hn, (b, pos[b], hp, node[b], hn)
+
+
+def test_anchor_default_extraction(rng):
+    """Zero-config stage-05 mode: contigs built as
+    [18S' | ITS1 | 5.8S | ITS2 | 28S'] (with the universal junction
+    motifs at the boundaries, a few errors allowed) split into 18S and
+    28S segments on both strands; a junk contig yields nothing."""
+    from tpu_orc.io import encode as enc
+    from tpu_orc.io.fastq import Record
+    from tpu_orc.rrna.anchors import (ANCHOR_18S_END, ANCHOR_28S_START,
+                                      find_rrna_by_anchors)
+
+    def pad(n):
+        return "".join(rng.choice(list("ACGT"), size=n))
+
+    def noisy(s, k):
+        s = list(s)
+        for _ in range(k):
+            s[int(rng.integers(0, len(s)))] = str(rng.choice(list("ACGT")))
+        return "".join(s)
+
+    body18, its, body28 = pad(700), pad(300), pad(900)
+    c1 = body18 + noisy(ANCHOR_18S_END, 2) + its \
+        + noisy(ANCHOR_28S_START, 2) + body28
+    c2 = enc.revcomp(c1)
+    c3 = pad(1500)  # rRNA-free
+    recs = [Record("p", "p", c1), Record("m", "m", c2),
+            Record("x", "x", c3)]
+    hits = find_rrna_by_anchors(recs)
+    by18 = {h.contig_id: h for h in hits["18S"]}
+    by28 = {h.contig_id: h for h in hits["28S"]}
+    assert set(by18) == {"p", "m"} and set(by28) == {"p", "m"}
+    assert "x" not in by18 and "x" not in by28
+    # + strand: 18S = prefix through the anchor; 28S = suffix from anchor
+    exp18 = len(body18) + len(ANCHOR_18S_END)
+    assert abs(len(by18["p"].seq) - exp18) <= 3     # indel-free edits
+    assert by18["p"].strand == "+" and by18["m"].strand == "-"
+    exp28 = len(ANCHOR_28S_START) + len(body28)
+    assert abs(len(by28["p"].seq) - exp28) <= 3
+    # - strand sequences come out reoriented to the gene sense
+    assert by18["m"].seq == by18["p"].seq
+    assert by28["m"].seq == by28["p"].seq
+
+
+def test_extract_rrna_anchor_default_layout(tmp_path, rng):
+    """extract_rrna with no model inputs writes _18S.fa/_28S.fa via the
+    anchor default (run_all stage 05 now runs out of the box)."""
+    from tpu_orc.io.fastq import Record
+    from tpu_orc.rrna.anchors import ANCHOR_18S_END, ANCHOR_28S_START
+    from tpu_orc.rrna.extract import extract_rrna
+
+    def pad(n):
+        return "".join(rng.choice(list("ACGT"), size=n))
+
+    c1 = pad(400) + ANCHOR_18S_END + pad(250) + ANCHOR_28S_START + pad(500)
+    hits = extract_rrna([Record("ct", "ct", c1)], str(tmp_path), "BC02")
+    assert len(hits["18S"]) == 1 and len(hits["28S"]) == 1
+    assert (tmp_path / "BC02_18S.fa").exists()
+    assert (tmp_path / "BC02_28S.fa").exists()
+    txt = (tmp_path / "BC02_18S.fa").read_text()
+    assert txt.startswith(">18S_rRNA::ct:")

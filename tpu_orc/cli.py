@@ -131,6 +131,11 @@ def main(argv=None):
     sp.add_argument("--trace", metavar="DIR", default=None,
                     help="capture a jax.profiler device trace into DIR "
                          "(TensorBoard/XProf format)")
+    sp.add_argument("--rrna-hmm", default=None,
+                    help="HMMER3 .hmm (e.g. barrnap euk.hmm) for stage 05; "
+                         "default = universal junction anchors")
+    sp.add_argument("--exemplars-18s", default=None)
+    sp.add_argument("--exemplars-28s", default=None)
 
     args = p.parse_args(argv)
 
@@ -217,9 +222,12 @@ def main(argv=None):
                                             args.outdir)
         print(json.dumps({"cleaned": clean, "metadata": meta}))
     elif args.cmd == "run-all":
-        from .pipeline.stages import run_all
+        from .pipeline.stages import PipelineConfig, run_all
+        cfg = PipelineConfig(rrna_hmm=args.rrna_hmm,
+                             rrna_exemplars_18s=args.exemplars_18s,
+                             rrna_exemplars_28s=args.exemplars_28s)
         rep = run_all(args.input, args.outdir, args.dataset, args.amplicon,
-                      trace_dir=args.trace)
+                      cfg=cfg, trace_dir=args.trace)
         print(json.dumps(rep, default=str))
     return 0
 

@@ -50,6 +50,7 @@ class PipelineConfig:
     match_read_wildcards: bool = False
     rrna_exemplars_18s: Optional[str] = None  # FASTA paths
     rrna_exemplars_28s: Optional[str] = None
+    rrna_hmm: Optional[str] = None            # HMMER3 file (barrnap euk.hmm)
 
     @property
     def sp5_fasta(self):
@@ -125,14 +126,23 @@ def stage_clean(consensus_fasta: str, outdir: str, barcode: str,
 
 def stage_rrna(cleaned_fasta: str, outdir: str, barcode: str,
                cfg: PipelineConfig):
+    """05a: HMMER3 model file > exemplar FASTAs > universal-junction
+    anchors (zero-config default; rrna/anchors.py)."""
     from ..io.fastq import read_fasta
     ex18 = ([r.seq for r in read_fasta(cfg.rrna_exemplars_18s)]
             if cfg.rrna_exemplars_18s else None)
     ex28 = ([r.seq for r in read_fasta(cfg.rrna_exemplars_28s)]
             if cfg.rrna_exemplars_28s else None)
+    p18 = p28 = None
+    if cfg.rrna_hmm:
+        from ..rrna.hmm import parse_hmmer3
+        models = {m.name: m for m in parse_hmmer3(cfg.rrna_hmm)}
+        p18 = models.get("18S_rRNA")
+        p28 = models.get("28S_rRNA")
     records = list(read_records(cleaned_fasta))
     return extract_rrna(records, os.path.join(outdir, "rRNA_genes"),
-                        barcode, exemplars_18s=ex18, exemplars_28s=ex28)
+                        barcode, exemplars_18s=ex18, exemplars_28s=ex28,
+                        profile_18s=p18, profile_28s=p28)
 
 
 def stage_reorganise_cois(outdir: str) -> Dict[str, str]:
@@ -217,8 +227,8 @@ def run_all(in_fastq: str, outdir: str, dataset: str, amplicon: str,
                 rep_bc["cleaned"] = len(clean)
                 cleaned_path = os.path.join(outdir, "primerless", comb,
                                             f"cleaned_{comb}.fasta")
-                if amplicon.upper() != "COI" and (cfg.rrna_exemplars_18s
-                                                  or cfg.rrna_exemplars_28s):
+                if amplicon.upper() != "COI":
+                    # runs by default: anchor mode needs no model files
                     with met.stage(f"05_rrna/{comb}") as st:
                         hits = stage_rrna(cleaned_path, outdir, comb, cfg)
                         st.count(n_contigs=len(clean))

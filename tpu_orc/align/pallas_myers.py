@@ -295,11 +295,16 @@ def distances_pallas_pairs(patterns_codes: np.ndarray, m_lens: np.ndarray,
 
 
 def tile_shape(W: int, TI: int | None = None, TJ: int | None = None):
-    """Measured-best tile per word count (v5e sweep, BENCH.md)."""
+    """Measured-best tile per word count (v5e sweeps, BENCH.md).
+
+    r2 sweep at W=16 (512 bp), 1024x1024 pairs: 32x512 = 969 Gcells/s,
+    64x256 = 867, 64x512 = 860, 128x256 = 843, 32x256 = 715. Wider lanes
+    win until the [2, W, TI, TJ] uint32 scratch presses VMEM; shrink TJ
+    as W grows (W=56 @ 32x256 -> 7.3 MB, W=128 @ 32x128 -> 8.4 MB)."""
     if TI is None:
-        TI = 64 if W <= 24 else 32
+        TI = 32
     if TJ is None:
-        TJ = 256 if W <= 24 else 128
+        TJ = 512 if W <= 24 else (256 if W <= 56 else 128)
     return TI, TJ
 
 
@@ -318,10 +323,7 @@ def distances_pallas(patterns_codes: np.ndarray, m_lens: np.ndarray,
     P0 = patterns_codes.shape[0]
     T0 = texts_codes.shape[0]
     W = max(1, -(-int(patterns_codes.shape[1]) // WORD))
-    if TI is None:
-        TI = 64 if W <= 24 else 32
-    if TJ is None:
-        TJ = 256 if W <= 24 else 128
+    TI, TJ = tile_shape(W, TI, TJ)
     P = -(-P0 // TI) * TI
     T = -(-T0 // TJ) * TJ
     m = np.ones((P, 1), np.int32)

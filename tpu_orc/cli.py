@@ -136,6 +136,9 @@ def main(argv=None):
                          "default = universal junction anchors")
     sp.add_argument("--exemplars-18s", default=None)
     sp.add_argument("--exemplars-28s", default=None)
+    sp.add_argument("--mesh", action="store_true",
+                    help="shard demux reads and clustering stripes over "
+                         "all visible devices (jax.sharding mesh)")
 
     args = p.parse_args(argv)
 
@@ -225,7 +228,8 @@ def main(argv=None):
         from .pipeline.stages import PipelineConfig, run_all
         cfg = PipelineConfig(rrna_hmm=args.rrna_hmm,
                              rrna_exemplars_18s=args.exemplars_18s,
-                             rrna_exemplars_28s=args.exemplars_28s)
+                             rrna_exemplars_28s=args.exemplars_28s,
+                             use_mesh=args.mesh)
         rep = run_all(args.input, args.outdir, args.dataset, args.amplicon,
                       cfg=cfg, trace_dir=args.trace)
         print(json.dumps(rep, default=str))

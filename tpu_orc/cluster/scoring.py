@@ -63,13 +63,20 @@ class DeviceScorer:
     bit-identical — parity enforced by tests/test_myers.py).
     """
 
-    def __init__(self, tile: int = 256, backend: str = "auto"):
+    def __init__(self, tile: int = 256, backend: str = "auto", mesh=None):
         self.tile = tile
         self.pairs_scored = 0  # telemetry for bench
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
         if backend == "auto":
             import jax
-            backend = "pallas" if jax.default_backend() not in ("cpu",) \
-                else "native"
+            if self.mesh is not None:
+                # mesh path: XLA myers under shard_map (compiles on any
+                # backend; pattern stripes over 'data'/'pair')
+                backend = "mesh"
+            else:
+                backend = "pallas" if jax.default_backend() not in ("cpu",) \
+                    else "native"
         self.backend = backend
 
     def _tile_distances(self, pat, plens, txt, tlens):
@@ -129,6 +136,16 @@ class DeviceScorer:
             d, _ = distances_pallas_pairs(packed, lens, texts, tlens,
                                           pairs, "NW", TI=TI, TJ=TJ)
             D = np.asarray(d)      # one fetch (pos stays on device)
+        elif self.backend == "mesh":
+            # pattern stripes over the mesh, texts replicated; the
+            # all-gathered D is bit-identical to the single-device XLA
+            # path (same myers_tile core)
+            from ..dist.sharded import sharded_pairwise_step
+            ndev = int(self.mesh.devices.size)
+            P = -(-NB // ndev) * ndev
+            pp, ll = _pad_rows(packed, lens, P)
+            D = np.asarray(sharded_pairwise_step(self.mesh, pp, ll,
+                                                 texts, tlens))
         else:  # XLA scan path (CPU/virtual-mesh tests), dense block
             D = np.asarray(myers.distances(packed, lens, texts, tlens,
                                            "NW"))

@@ -230,10 +230,76 @@ def _use_fused(sp5: AdapterBank, sp27rc: AdapterBank) -> bool:
     return (_use_pallas(sp5, FRONT) and _use_pallas(sp27rc, BACK))
 
 
+def materialize_decision(rec: Record, sp5_names, sp27_names, idx1: int,
+                         rc1: bool, qe1: int, idx2: int, rc2: bool,
+                         qs2: int):
+    """Host-side realization of one dual-round decision tuple into
+    (sp5_name|None, trimmed1 Record, sp27_name|None, final Record) — the
+    shared decode for the fused single-device path and the sharded mesh
+    path (both emit the same six per-read scalars)."""
+    if idx1 < 0:
+        return (None, rec, None, rec)
+    if rc1:
+        seq = encode.revcomp(rec.seq)
+        qual = rec.qual[::-1] if rec.qual else None
+        desc = rec.desc + " rc"
+    else:
+        seq, qual, desc = rec.seq, rec.qual, rec.desc
+    t1seq, t1qual = seq[qe1:], (qual[qe1:] if qual else None)
+    rid = desc.split()[0] if desc else ""
+    trimmed1 = Record(rid, desc, t1seq, t1qual)
+    sp5_name = sp5_names[idx1]
+    if idx2 < 0:
+        return (sp5_name, trimmed1, None, trimmed1)
+    if rc2:
+        seq2 = encode.revcomp(t1seq)
+        qual2 = t1qual[::-1] if t1qual else None
+        desc2 = desc + " rc"
+    else:
+        seq2, qual2, desc2 = t1seq, t1qual, desc
+    rid2 = desc2.split()[0] if desc2 else ""
+    final = Record(rid2, desc2, seq2[:qs2],
+                   (qual2[:qs2] if qual2 else None))
+    return (sp5_name, trimmed1, sp27_names[idx2], final)
+
+
+def _decisions_sharded(records: Sequence[Record], sp5: AdapterBank,
+                       sp27rc: AdapterBank, mesh) -> List[tuple]:
+    """Mesh data-parallel decisions via dist.sharded_dual_demux_step:
+    reads shard over the 'data' axis, banks replicate per chip
+    (SURVEY.md §2.4 mapping). Decision semantics are identical to the
+    single-device paths (same locate core + selection rules)."""
+    from ..dist.sharded import sharded_dual_demux_step
+    out: List[tuple] = []
+    ndata = mesh.shape["data"]  # reads shard over 'data' only
+    CH = 4096
+    for s in range(0, len(records), CH):
+        chunk = records[s:s + CH]
+        seqs = [r.seq.upper() for r in chunk]
+        L = _bucket_pad(max((len(x) for x in seqs), default=1))
+        masks, lens = encode.pack_batch(
+            seqs, max_len=L, pad_multiple=1,
+            encoder=encode.encode_read_masks, pad_value=0)
+        B0 = masks.shape[0]
+        B = -(-B0 // ndata) * ndata
+        if B != B0:
+            masks = np.concatenate(
+                [masks, np.zeros((B - B0, L), masks.dtype)])
+            lens = np.concatenate([lens, np.ones(B - B0, lens.dtype)])
+        i1, rc1, qe1, i2, rc2, qs2, _, _ = (
+            np.asarray(v) for v in sharded_dual_demux_step(
+                mesh, sp5, sp27rc, masks, lens))
+        for i, rec in enumerate(chunk):
+            out.append(materialize_decision(
+                rec, sp5.names, sp27rc.names, int(i1[i]), bool(rc1[i]),
+                int(qe1[i]), int(i2[i]), bool(rc2[i]), int(qs2[i])))
+    return out
+
+
 def dual_round_demux(records: Sequence[Record], sp5: AdapterBank,
                      sp27rc: AdapterBank, dataset: str, outdir: str,
                      write: bool = True, fmt: str = "fastq",
-                     batch_size: int = 256) -> Dict:
+                     batch_size: int = 256, mesh=None) -> Dict:
     """Full two-round demux with unknown/invalid-combo removal.
 
     Returns a report dict (cutadapt-JSON-like counters) and, when ``write``,
@@ -248,7 +314,9 @@ def dual_round_demux(records: Sequence[Record], sp5: AdapterBank,
     vectors back. Falls back to the two-round XLA path elsewhere.
     """
     records = list(records)
-    if _use_fused(sp5, sp27rc):
+    if mesh is not None and mesh.devices.size > 1:
+        dec = _decisions_sharded(records, sp5, sp27rc, mesh)
+    elif _use_fused(sp5, sp27rc):
         from .fused import FusedDemux
         fb = max(batch_size, 2048)  # fused path wants large device batches
         dec = [(t[1], t[2], t[3], t[4])

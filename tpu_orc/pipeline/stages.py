@@ -51,6 +51,17 @@ class PipelineConfig:
     rrna_exemplars_18s: Optional[str] = None  # FASTA paths
     rrna_exemplars_28s: Optional[str] = None
     rrna_hmm: Optional[str] = None            # HMMER3 file (barrnap euk.hmm)
+    # multi-chip: shard demux reads + clustering pattern stripes over a
+    # ('data','pair') device mesh (dist/sharded.py). False = single
+    # device; True = all visible devices (SLURM-array fan-out replaced
+    # by mesh data parallelism, SURVEY.md §2.4).
+    use_mesh: bool = False
+
+    def mesh(self):
+        if not self.use_mesh:
+            return None
+        from ..dist.sharded import make_mesh
+        return make_mesh()
 
     @property
     def sp5_fasta(self):
@@ -93,18 +104,23 @@ def stage_reorient(in_fastq: str, outdir: str, name: str,
 
 
 def stage_demux(in_fastq: str, outdir: str, dataset: str,
-                cfg: PipelineConfig):
+                cfg: PipelineConfig, mesh=None):
     sp5 = AdapterBank.from_fasta(cfg.sp5_fasta, cfg.e_rate)
     sp27 = AdapterBank.from_fasta(cfg.sp27rc_fasta, cfg.e_rate)
     records = list(read_records(in_fastq))
     return dual_round_demux(records, sp5, sp27, dataset,
-                            os.path.join(outdir, "demuxed"))
+                            os.path.join(outdir, "demuxed"),
+                            mesh=mesh if mesh is not None else cfg.mesh())
 
 
 def stage_sort(bin_fastq: str, outdir: str, barcode: str, prefix: str,
-               cfg: PipelineConfig):
+               cfg: PipelineConfig, mesh=None):
+    from ..cluster.scoring import DeviceScorer
     records = list(read_records(bin_fastq))
-    sorter = AmpliconSorter(cfg.sorter)
+    mesh = mesh if mesh is not None else cfg.mesh()
+    scorer = DeviceScorer(tile=cfg.sorter.tile, mesh=mesh) \
+        if mesh is not None else None
+    sorter = AmpliconSorter(cfg.sorter, scorer=scorer)
     result = sorter.sort_records(records)
     sorted_dir = os.path.join(outdir, "sorted", barcode)
     write_sort_outputs(result, records, sorted_dir, barcode)
@@ -187,6 +203,7 @@ def run_all(in_fastq: str, outdir: str, dataset: str, amplicon: str,
     os.makedirs(outdir, exist_ok=True)
     report: Dict = {"dataset": dataset, "amplicon": amplicon}
     met = Metrics(run=dataset)
+    mesh = cfg.mesh()  # one mesh for every device stage (None = 1 chip)
 
     with device_trace(trace_dir):
         with met.stage("00_qc") as st:
@@ -202,7 +219,8 @@ def run_all(in_fastq: str, outdir: str, dataset: str, amplicon: str,
                                  f"{dataset}_pass.fastq")
 
         with met.stage("02_demux") as st:
-            demux_rep = stage_demux(pass_path, outdir, dataset, cfg)
+            demux_rep = stage_demux(pass_path, outdir, dataset, cfg,
+                                    mesh=mesh)
             st.count(n_reads=demux_rep["total_reads"])
         report["demux"] = {
             "bins": len(demux_rep["final_bins"]),
@@ -214,7 +232,7 @@ def run_all(in_fastq: str, outdir: str, dataset: str, amplicon: str,
                                     f"{comb}_{dataset}.fastq.gz")
             with met.stage(f"03_sort/{comb}") as st:
                 result, consensus_path = stage_sort(bin_path, outdir, comb,
-                                                    prefix, cfg)
+                                                    prefix, cfg, mesh=mesh)
                 st.count(n_reads=result.n_reads)
             rep_bc = {"reads": result.n_reads, "skipped": result.skipped,
                       "species_groups": sum(len(s)

@@ -162,3 +162,60 @@ def test_trimmed_insert_recovery(tmp_path, sp5, sp27rc, rng):
     for a, (n5, n27, insert) in zip(r2, truth):
         assert a.adapter == n27
         assert a.trimmed.seq == insert
+
+
+def test_cutadapt_json_schema_reports(tmp_path, rng):
+    """dual_round_demux writes real cutadapt-schema --json reports
+    (02_cutadapt_loop.sh:72,102): SP5/cutadapt_SP5_<ds>.json + one
+    SP27/<id>_<ds>.json per SP5 bin, with the documented top-level keys,
+    read/basepair counts, and per-adapter trimmed_lengths histograms
+    keyed by error count."""
+    import json
+    sp5 = AdapterBank.from_fasta(f"{REF}/M13_amplicon_indices_forward.fa",
+                                 0.1)
+    sp27 = AdapterBank.from_fasta(
+        f"{REF}/M13_amplicon_indices_reverse_rc.fa", 0.1)
+    recs = []
+    for i in range(20):
+        ins = "".join(rng.choice(list("ACGT"), size=150))
+        s = sp5.seqs[i % 3] + ins + sp27.seqs[i % 2]
+        if i % 2:
+            s = encode.revcomp(s)
+        recs.append(Record(f"r{i}", f"r{i}", s, "I" * len(s)))
+    recs.append(Record("junkread_x", "junkread_x",
+                       "".join(rng.choice(list("AC"), size=40)), None))
+    dual_round_demux(recs, sp5, sp27, "ds", str(tmp_path))
+    r1 = json.load(open(tmp_path / "SP5" / "cutadapt_SP5_ds.json"))
+    assert r1["tag"] == "Cutadapt report"
+    assert r1["schema_version"] == [0, 3]
+    for key in ("read_counts", "basepair_counts", "adapters_read1",
+                "input", "command_line_arguments"):
+        assert key in r1
+    rc = r1["read_counts"]
+    assert rc["input"] == 21
+    assert rc["read1_with_adapter"] == 20
+    assert rc["reverse_complemented"] == 10
+    assert rc["filtered"]["too_short"] is None
+    names = [a["name"] for a in r1["adapters_read1"]]
+    assert names == sp5.names
+    a0 = [a for a in r1["adapters_read1"] if a["total_matches"]][0]
+    fe = a0["five_prime_end"]
+    assert fe["type"] == "regular_five_prime"
+    assert fe["three_prime_end"] is None if "three_prime_end" in fe \
+        else a0["three_prime_end"] is None
+    assert fe["error_lengths"][-1] == len(fe["sequence"])
+    tl = fe["trimmed_lengths"]
+    assert tl and all(set(x) == {"len", "expect", "counts"} for x in tl)
+    # exact-match synthetic adapters -> all matches in the 0-error bucket
+    assert sum(x["counts"][0] for x in tl) == a0["total_matches"]
+    # round-2 reports: one per SP5 bin seen
+    bins = {n for n, *_ in
+            [(r1_adapter["name"],) for r1_adapter in r1["adapters_read1"]
+             if r1_adapter["total_matches"]]}
+    for b in bins:
+        r2 = json.load(open(tmp_path / "SP27" / f"{b}_ds.json"))
+        assert r2["tag"] == "Cutadapt report"
+        ae = [a for a in r2["adapters_read1"] if a["total_matches"]]
+        assert ae and ae[0]["three_prime_end"]["type"] == \
+            "regular_three_prime"
+        assert ae[0]["five_prime_end"] is None

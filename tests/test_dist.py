@@ -54,8 +54,8 @@ def _reads(rng, sp5, sp27, B=32, L=256):
 def test_sharded_dual_demux_matches_single_chip(banks, mesh, rng):
     sp5, sp27 = banks
     masks, lens = _reads(rng, sp5, sp27)
-    idx1, rc1, qe1, idx2, rc2, qs2, h1, h2 = sharded_dual_demux_step(
-        mesh, sp5, sp27, masks, lens)
+    (idx1, rc1, qe1, idx2, rc2, qs2, e1, e2, h1,
+     h2) = sharded_dual_demux_step(mesh, sp5, sp27, masks, lens)
     want = FusedDemux(sp5, sp27).decide(masks, lens)
     np.testing.assert_array_equal(np.asarray(idx1), want.idx1)
     np.testing.assert_array_equal(np.asarray(rc1), want.rc1)
@@ -63,6 +63,10 @@ def test_sharded_dual_demux_matches_single_chip(banks, mesh, rng):
     np.testing.assert_array_equal(np.asarray(idx2), want.idx2)
     np.testing.assert_array_equal(np.asarray(rc2), want.rc2)
     np.testing.assert_array_equal(np.asarray(qs2), want.qs2)
+    sel1 = np.asarray(idx1) >= 0
+    np.testing.assert_array_equal(np.asarray(e1)[sel1], want.err1[sel1])
+    sel2 = np.asarray(idx2) >= 0
+    np.testing.assert_array_equal(np.asarray(e2)[sel2], want.err2[sel2])
     # psum histograms cover every read exactly once
     assert int(np.asarray(h1).sum()) == masks.shape[0]
     assert int(np.asarray(h2).sum()) == masks.shape[0]

@@ -71,7 +71,7 @@ def test_fused_matches_unfused(banks, rng):
     got = fused.assign(reads, batch_size=32, max_len=128)
     want = unfused_decisions(reads, sp5, sp27)
     assert len(got) == len(want)
-    for (ridx, sp5n, t1, sp27n, fin), (w5, wt1, w27, wfin, wq) in zip(
+    for (ridx, sp5n, t1, sp27n, fin, *_), (w5, wt1, w27, wfin, wq) in zip(
             got, want):
         assert sp5n == w5, (ridx, sp5n, w5)
         assert t1.seq == wt1, (ridx, "round1 trim")
@@ -91,7 +91,7 @@ def test_fused_empty_and_short_reads(banks):
     fused = FusedDemux(sp5, sp27)
     got = fused.assign(reads, batch_size=4, max_len=128)
     want = unfused_decisions(reads, sp5, sp27)
-    for (ridx, sp5n, t1, sp27n, fin), (w5, wt1, w27, wfin, wq) in zip(
+    for (ridx, sp5n, t1, sp27n, fin, *_), (w5, wt1, w27, wfin, wq) in zip(
             got, want):
         assert sp5n == w5 and t1.seq == wt1
         if w5 is not None:

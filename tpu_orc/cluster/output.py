@@ -61,7 +61,18 @@ def write_sort_outputs(result: SortResult, records: Sequence[Record],
     write_records(p, run_consensus, fmt="fasta")
     paths["consensusfile"] = p
 
-    with open(os.path.join(outdir, "results.csv"), "w", newline="") as fh:
+    # results.csv: the reference's matrix layout (amplicon_sorter.py:
+    # 1574-1579, 2061-2067, 2171-2177) — one column per input file
+    # (header ', <file>'), a 'Total, <used_reads>' row, then one
+    # '<consensusname>, <readcount>' row per species group.
+    with open(os.path.join(outdir, "results.csv"), "w") as fh:
+        fh.write(f", {stem}\n")
+        fh.write(f"Total, {result.n_reads}\n")
+        for r, rc in zip(rows, run_consensus):
+            fh.write(f"{rc.id.replace('consensus_', '')}, {r['reads']}\n")
+    # richer per-group table kept alongside
+    with open(os.path.join(outdir, "results_detail.csv"), "w",
+              newline="") as fh:
         w = csv.DictWriter(fh, ["gene_group", "species_group", "reads",
                                 "consensus_len"])
         w.writeheader()

@@ -46,12 +46,14 @@ class Assignment:
     adapter: Optional[str]   # adapter name or None (-> unknown bin)
     rc: bool                 # read was reverse-complemented before trimming
     trimmed: Record          # output read (trimmed, oriented)
+    err: int = 0             # match error count (cutadapt JSON report)
 
 
-def _best_per_read(res) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+def _best_per_read(res):
     """Across-adapter selection: max matches, first adapter wins ties.
 
-    Returns (adapter_idx [B] int32 (-1 none), matches, qstart, qstop).
+    Returns (adapter_idx [B] int32 (-1 none), matches, qstart, qstop,
+    errors).
     """
     valid = np.asarray(res.valid).astype(bool)
     matches = np.where(valid, np.asarray(res.matches), -1)
@@ -62,7 +64,8 @@ def _best_per_read(res) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
     idx = np.where(none, -1, idx)
     qstart = np.asarray(res.querystart)[b, np.maximum(idx, 0)]
     qstop = np.asarray(res.querystop)[b, np.maximum(idx, 0)]
-    return idx.astype(np.int32), best_m, qstart, qstop
+    errs = np.asarray(res.errors)[b, np.maximum(idx, 0)]
+    return idx.astype(np.int32), best_m, qstart, qstop, errs
 
 
 def _bucket_pad(n: int) -> int:
@@ -153,15 +156,15 @@ def assign_reads(records: Sequence[Record], bank: AdapterBank, where: str,
                 encoder=encoder, pad_value=0)
             fres, rres = locate_fwd_rc(bank, masks, lens, flags,
                                        min_overlap)
-            f_idx, f_m, f_qs, f_qe = _best_per_read(fres)
-            r_idx, r_m, r_qs, r_qe = _best_per_read(rres)
+            f_idx, f_m, f_qs, f_qe, f_e = _best_per_read(fres)
+            r_idx, r_m, r_qs, r_qe, r_e = _best_per_read(rres)
         else:
             res = locate_batch(bank, fwd_seqs, flags, min_overlap,
                                encoder)
-            f_idx, f_m, f_qs, f_qe = _best_per_read(res)
+            f_idx, f_m, f_qs, f_qe, f_e = _best_per_read(res)
             r_idx = np.full_like(f_idx, -1)
             r_m = np.full_like(f_m, -1)
-            r_qs = r_qe = np.zeros_like(f_qs)
+            r_qs = r_qe = r_e = np.zeros_like(f_qs)
 
         for i, rec in enumerate(chunk):
             use_rc = (r_idx[i] >= 0) and (f_idx[i] < 0 or r_m[i] > f_m[i])
@@ -169,10 +172,12 @@ def assign_reads(records: Sequence[Record], bank: AdapterBank, where: str,
                 seq = encode.revcomp(rec.seq)
                 qual = rec.qual[::-1] if rec.qual else None
                 desc = rec.desc + " rc"
-                ai, qs, qe = int(r_idx[i]), int(r_qs[i]), int(r_qe[i])
+                ai, qs, qe, er = (int(r_idx[i]), int(r_qs[i]),
+                                  int(r_qe[i]), int(r_e[i]))
             else:
                 seq, qual, desc = rec.seq, rec.qual, rec.desc
-                ai, qs, qe = int(f_idx[i]), int(f_qs[i]), int(f_qe[i])
+                ai, qs, qe, er = (int(f_idx[i]), int(f_qs[i]),
+                                  int(f_qe[i]), int(f_e[i]))
             if ai < 0:
                 out.append(Assignment(None, False, rec))
                 continue
@@ -182,7 +187,7 @@ def assign_reads(records: Sequence[Record], bank: AdapterBank, where: str,
                 tseq, tqual = seq[:qs], (qual[:qs] if qual else None)
             rid = desc.split()[0] if desc else ""
             out.append(Assignment(bank.names[ai], use_rc,
-                                  Record(rid, desc, tseq, tqual)))
+                                  Record(rid, desc, tseq, tqual), er))
     return out
 
 
@@ -206,10 +211,11 @@ INVALID_SP27 = ("SP27_009", "SP27_010", "SP27_011", "SP27_012")
 
 def _decisions_unfused(records: Sequence[Record], sp5: AdapterBank,
                        sp27rc: AdapterBank, batch_size: int):
-    """Per-read (sp5_name, trimmed1, sp27_name, final) via two unfused
-    rounds. Round 2 is batched across ALL round-1-assigned reads (the
-    SP27 bank is the same for every SP5 bin, so per-bin batching as in
-    the reference shell loop changes nothing but wastes batches)."""
+    """Per-read decision rows (sp5_name, trimmed1, sp27_name, final,
+    rc1, err1, rc2, err2) via two unfused rounds. Round 2 is batched
+    across ALL round-1-assigned reads (the SP27 bank is the same for
+    every SP5 bin, so per-bin batching as in the reference shell loop
+    changes nothing but wastes batches)."""
     r1 = assign_reads(list(records), sp5, "front", rc=True,
                       batch_size=batch_size)
     assigned = [a for a in r1 if a.adapter is not None]
@@ -219,10 +225,12 @@ def _decisions_unfused(records: Sequence[Record], sp5: AdapterBank,
     out = []
     for a in r1:
         if a.adapter is None:
-            out.append((None, a.trimmed, None, a.trimmed))
+            out.append((None, a.trimmed, None, a.trimmed,
+                        False, 0, False, 0))
         else:
             b = next(it2)
-            out.append((a.adapter, a.trimmed, b.adapter, b.trimmed))
+            out.append((a.adapter, a.trimmed, b.adapter, b.trimmed,
+                        a.rc, a.err, b.rc, b.err))
     return out
 
 
@@ -286,13 +294,15 @@ def _decisions_sharded(records: Sequence[Record], sp5: AdapterBank,
             masks = np.concatenate(
                 [masks, np.zeros((B - B0, L), masks.dtype)])
             lens = np.concatenate([lens, np.ones(B - B0, lens.dtype)])
-        i1, rc1, qe1, i2, rc2, qs2, _, _ = (
+        i1, rc1, qe1, i2, rc2, qs2, e1, e2, _, _ = (
             np.asarray(v) for v in sharded_dual_demux_step(
                 mesh, sp5, sp27rc, masks, lens))
         for i, rec in enumerate(chunk):
-            out.append(materialize_decision(
+            dec = materialize_decision(
                 rec, sp5.names, sp27rc.names, int(i1[i]), bool(rc1[i]),
-                int(qe1[i]), int(i2[i]), bool(rc2[i]), int(qs2[i])))
+                int(qe1[i]), int(i2[i]), bool(rc2[i]), int(qs2[i]))
+            out.append(dec + (bool(rc1[i]), int(e1[i]),
+                              bool(rc2[i]), int(e2[i])))
     return out
 
 
@@ -319,9 +329,8 @@ def dual_round_demux(records: Sequence[Record], sp5: AdapterBank,
     elif _use_fused(sp5, sp27rc):
         from .fused import FusedDemux
         fb = max(batch_size, 2048)  # fused path wants large device batches
-        dec = [(t[1], t[2], t[3], t[4])
-               for t in FusedDemux(sp5, sp27rc).assign(records,
-                                                       batch_size=fb)]
+        dec = [t[1:] for t in FusedDemux(sp5, sp27rc).assign(
+            records, batch_size=fb)]
     else:
         dec = _decisions_unfused(records, sp5, sp27rc, batch_size)
 
@@ -329,7 +338,7 @@ def dual_round_demux(records: Sequence[Record], sp5: AdapterBank,
     r2_counts: Dict[str, Dict[str, int]] = defaultdict(
         lambda: defaultdict(int))
     final_bins: Dict[str, List[Record]] = defaultdict(list)
-    for sp5_name, trimmed1, sp27_name, final in dec:
+    for sp5_name, trimmed1, sp27_name, final, *_ in dec:
         sp5_bins[sp5_name or UNKNOWN].append(trimmed1)
         if sp5_name is None:
             continue
@@ -363,4 +372,9 @@ def dual_round_demux(records: Sequence[Record], sp5: AdapterBank,
         import json
         with open(os.path.join(outdir, f"demux_{dataset}.json"), "w") as fh:
             json.dump(report, fh, indent=2)
+        # real cutadapt-schema --json reports, one per round/bin
+        # (02_cutadapt_loop.sh:72,102)
+        from .report import write_round_reports
+        write_round_reports(outdir, dataset, dataset, sp5, sp27rc,
+                            sp5.max_error_rate, dec, records)
     return report

@@ -47,6 +47,8 @@ class FusedDecision(NamedTuple):
     idx2: np.ndarray     # round-2 adapter index (-1 = unknown)
     rc2: np.ndarray      # 1 if round 2 chose the rc of the trimmed read
     qs2: np.ndarray      # round-2 trim point (keep trimmed[:qs2])
+    err1: np.ndarray     # round-1 match error count (cutadapt JSON report)
+    err2: np.ndarray     # round-2 match error count
 
 
 def _shift_left(x, s):
@@ -71,10 +73,10 @@ def _revcomp_rows(m, lens):
     return _shift_left(jnp.flip(comp, axis=1), L - lens)
 
 
-def _best(m, q, o, A):
+def _best(m, q, o, A, c=None):
     """Across-adapter selection on [Ap, B] kernel outputs: max matches,
     first adapter in file order wins ties. Returns (idx [B] with -1 for
-    none, matches, querystop, origin)."""
+    none, matches, querystop, origin[, errors])."""
     mm = jnp.where(m[:A] >= 0, m[:A], -1)
     idx = jnp.argmax(mm, axis=0).astype(jnp.int32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (A, 1), 0)
@@ -82,7 +84,10 @@ def _best(m, q, o, A):
     pick = lambda x: jnp.sum(jnp.where(oh, x[:A], 0), axis=0)
     best_m = jnp.max(mm, axis=0)
     none = best_m < 0
-    return (jnp.where(none, -1, idx), best_m, pick(q), pick(o))
+    out = (jnp.where(none, -1, idx), best_m, pick(q), pick(o))
+    if c is not None:
+        out = out + (pick(c),)
+    return out
 
 
 @functools.partial(jax.jit,
@@ -101,13 +106,15 @@ def _fused_core(t5, t27, masks, lens, Ap5: int, L: int, Ap27: int,
     m, c, o, q, v, r = locate_tiles(
         *t5, both.T, lens2[None, :], True, Ap5, L, interpret)
     A5 = Ap5  # padded rows never validate (threshold tables are -1)
-    idx_b, m_b, qe_b, _ = _best(jnp.where(v > 0, m, -1), q, o, A5)
+    idx_b, m_b, qe_b, _, e_b = _best(jnp.where(v > 0, m, -1), q, o, A5, c)
     f_idx, r_idx = idx_b[:B], idx_b[B:]
     f_m, r_m = m_b[:B], m_b[B:]
     f_qe, r_qe = qe_b[:B], qe_b[B:]
+    f_e, r_e = e_b[:B], e_b[B:]
     use_rc1 = (r_m >= 0) & ((f_m < 0) | (r_m > f_m))
     idx1 = jnp.where(use_rc1, r_idx, f_idx)
     qe1 = jnp.where(idx1 >= 0, jnp.where(use_rc1, r_qe, f_qe), 0)
+    err1 = jnp.where(use_rc1, r_e, f_e)
 
     # device trim: keep oriented[qe1:]
     oriented = jnp.where(use_rc1[:, None], rc, m32)
@@ -120,16 +127,19 @@ def _fused_core(t5, t27, masks, lens, Ap5: int, L: int, Ap27: int,
     lens2t = jnp.concatenate([lens_t, lens_t])
     m, c, o, q, v, r = locate_tiles(
         *t27, both2.T, lens2t[None, :], False, Ap27, L, interpret)
-    idx_b, m_b, _, qs_b = _best(jnp.where(v > 0, m, -1), q, o, Ap27)
+    idx_b, m_b, _, qs_b, e_b = _best(jnp.where(v > 0, m, -1), q, o,
+                                     Ap27, c)
     f_idx, r_idx = idx_b[:B], idx_b[B:]
     f_m, r_m = m_b[:B], m_b[B:]
     f_qs, r_qs = qs_b[:B], qs_b[B:]
+    f_e2, r_e2 = e_b[:B], e_b[B:]
     use_rc2 = (r_m >= 0) & ((f_m < 0) | (r_m > f_m))
     idx2 = jnp.where(use_rc2, r_idx, f_idx)
     qs2 = jnp.where(idx2 >= 0,
                     jnp.maximum(jnp.where(use_rc2, r_qs, f_qs), 0), 0)
+    err2 = jnp.where(use_rc2, r_e2, f_e2)
     return (idx1, use_rc1.astype(jnp.int32), qe1,
-            idx2, use_rc2.astype(jnp.int32), qs2)
+            idx2, use_rc2.astype(jnp.int32), qs2, err1, err2)
 
 
 class FusedDemux:
@@ -164,8 +174,7 @@ class FusedDemux:
         out = _fused_core(self._a5, self._a27, jnp.asarray(masks),
                           jnp.asarray(lens), self.t5.Ap, L, self.t27.Ap,
                           self.interpret)
-        i1, rc1, qe1, i2, rc2, qs2 = (np.asarray(x)[:B0] for x in out)
-        return FusedDecision(i1, rc1, qe1, i2, rc2, qs2)
+        return FusedDecision(*(np.asarray(x)[:B0] for x in out))
 
     def assign(self, records: Sequence[Record], batch_size: int = 2048,
                max_len: int = 512):
@@ -188,33 +197,13 @@ class FusedDemux:
         return out
 
     def _materialize(self, ridx, rec, d: FusedDecision, i: int):
-        if d.idx1[i] < 0:
-            return (ridx, None, rec, None, rec)
-        if d.rc1[i]:
-            seq = encode.revcomp(rec.seq)
-            qual = rec.qual[::-1] if rec.qual else None
-            desc = rec.desc + " rc"
-        else:
-            seq, qual, desc = rec.seq, rec.qual, rec.desc
-        qe = int(d.qe1[i])
-        t1seq, t1qual = seq[qe:], (qual[qe:] if qual else None)
-        rid = desc.split()[0] if desc else ""
-        trimmed1 = Record(rid, desc, t1seq, t1qual)
-        sp5_name = self.sp5.names[int(d.idx1[i])]
-        if d.idx2[i] < 0:
-            return (ridx, sp5_name, trimmed1, None, trimmed1)
-        if d.rc2[i]:
-            seq2 = encode.revcomp(t1seq)
-            qual2 = t1qual[::-1] if t1qual else None
-            desc2 = desc + " rc"
-        else:
-            seq2, qual2, desc2 = t1seq, t1qual, desc
-        qs = int(d.qs2[i])
-        rid2 = desc2.split()[0] if desc2 else ""
-        final = Record(rid2, desc2, seq2[:qs],
-                       (qual2[:qs] if qual2 else None))
-        return (ridx, sp5_name, trimmed1, self.sp27.names[int(d.idx2[i])],
-                final)
+        from .demux import materialize_decision
+        dec = materialize_decision(
+            rec, self.sp5.names, self.sp27.names, int(d.idx1[i]),
+            bool(d.rc1[i]), int(d.qe1[i]), int(d.idx2[i]), bool(d.rc2[i]),
+            int(d.qs2[i]))
+        return (ridx,) + dec + (bool(d.rc1[i]), int(d.err1[i]),
+                                bool(d.rc2[i]), int(d.err2[i]))
 
 
 def _pick_len(n: int, default_cap: int) -> int:

@@ -87,7 +87,7 @@ def linked_trim(records: Sequence[Record], pairs: Sequence[PrimerPair],
     recs = list(records)
     res = locate_batch(fwd_bank, [r.seq.upper() for r in recs], FRONT,
                        encoder=enc)
-    f_idx, f_m, f_qs, f_qe = _best_per_read(res)
+    f_idx, f_m, f_qs, f_qe, _ = _best_per_read(res)
     trimmed: List[Record] = []
     untrimmed: List[Record] = []
     # group by chosen pair for the REV round
@@ -103,7 +103,7 @@ def linked_trim(records: Sequence[Record], pairs: Sequence[PrimerPair],
             [(pairs[pi].pair_id, pairs[pi].rev)], e)
         mids = [r.seq.upper()[cut:] for _, r, cut in items]
         rres = locate_batch(rev_bank, mids, BACK, encoder=enc)
-        r_idx, r_m, r_qs, r_qe = _best_per_read(rres)
+        r_idx, r_m, r_qs, r_qe, _ = _best_per_read(rres)
         for (k, r, cut), ok, qs in zip(items, r_idx, r_qs):
             if ok < 0:
                 untrimmed.append(r)

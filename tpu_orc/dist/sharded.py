@@ -54,7 +54,8 @@ def choose_best_jnp(res):
     idx = jnp.where(best_m < 0, -1, idx)
     qstop = res.querystop[b, jnp.maximum(idx, 0)]
     qstart = res.querystart[b, jnp.maximum(idx, 0)]
-    return idx, best_m, qstart, qstop
+    errs = res.errors[b, jnp.maximum(idx, 0)]
+    return idx, best_m, qstart, qstop, errs
 
 
 def sharded_demux_step(mesh: Mesh, bank, read_masks, read_lens,
@@ -77,7 +78,7 @@ def sharded_demux_step(mesh: Mesh, bank, read_masks, read_lens,
         check_vma=False)
     def step(m, l, k, np_, rm, rl):
         res = batched_locate(m, l, k, np_, rm, rl, flags)
-        idx, best_m, qstart, qstop = choose_best_jnp(res)
+        idx, best_m, qstart, qstop, _ = choose_best_jnp(res)
         onehot = (idx[:, None] == jnp.arange(A + 1)[None, :] - 1)
         hist = jnp.sum(onehot, axis=0, dtype=jnp.int32)  # slot 0 = unknown
         hist = jax.lax.psum(hist, "data")
@@ -98,9 +99,9 @@ def sharded_dual_demux_step(mesh: Mesh, sp5, sp27rc, read_masks,
     the multi-chip form of demux.fused. Uses the XLA locate core so the
     same program compiles on a virtual CPU mesh and on TPU slices.
 
-    Returns per-read vectors (idx1, rc1, qe1, idx2, rc2, qs2), each
-    [B] sharded over 'data', plus psum-merged histograms hist1 [A5+1]
-    and hist2 [A27+1] (slot 0 = unknown).
+    Returns per-read vectors (idx1, rc1, qe1, idx2, rc2, qs2, err1,
+    err2), each [B] sharded over 'data', plus psum-merged histograms
+    hist1 [A5+1] and hist2 [A27+1] (slot 0 = unknown).
     """
     from ..demux.fused import _revcomp_rows, _shift_left
 
@@ -113,15 +114,15 @@ def sharded_dual_demux_step(mesh: Mesh, sp5, sp27rc, read_masks,
                  sp27rc.n_prefix))
 
     def best_both(res, B):
-        idx, m, qs, qe = choose_best_jnp(res)
-        return ((idx[:B], m[:B], qs[:B], qe[:B]),
-                (idx[B:], m[B:], qs[B:], qe[B:]))
+        idx, m, qs, qe, e = choose_best_jnp(res)
+        return ((idx[:B], m[:B], qs[:B], qe[:B], e[:B]),
+                (idx[B:], m[B:], qs[B:], qe[B:], e[B:]))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P("data"), P("data")),
         out_specs=(P("data"), P("data"), P("data"), P("data"),
-                   P("data"), P("data"), P(), P()),
+                   P("data"), P("data"), P("data"), P("data"), P(), P()),
         check_vma=False)
     def step(bank5, bank27, rm, rl):
         B = rm.shape[0]
@@ -131,10 +132,11 @@ def sharded_dual_demux_step(mesh: Mesh, sp5, sp27rc, read_masks,
         both = jnp.concatenate([m32, rc])
         lens2 = jnp.concatenate([rl, rl])
         res = batched_locate(*bank5, both, lens2, int(FRONT))
-        (fi, fm, _, fqe), (ri, rm_, _, rqe) = best_both(res, B)
+        (fi, fm, _, fqe, fe), (ri, rm_, _, rqe, re) = best_both(res, B)
         use_rc1 = (rm_ >= 0) & ((fm < 0) | (rm_ > fm))
         idx1 = jnp.where(use_rc1, ri, fi)
         qe1 = jnp.where(idx1 >= 0, jnp.where(use_rc1, rqe, fqe), 0)
+        err1 = jnp.where(use_rc1, re, fe)
         oriented = jnp.where(use_rc1[:, None], rc, m32)
         trimmed = _shift_left(oriented, qe1)
         lens_t = rl - qe1
@@ -142,17 +144,19 @@ def sharded_dual_demux_step(mesh: Mesh, sp5, sp27rc, read_masks,
         both2 = jnp.concatenate([trimmed, rc_t])
         lens2t = jnp.concatenate([lens_t, lens_t])
         res2 = batched_locate(*bank27, both2, lens2t, int(BACK))
-        (fi2, fm2, fqs2, _), (ri2, rm2, rqs2, _) = best_both(res2, B)
+        (fi2, fm2, fqs2, _, fe2), (ri2, rm2, rqs2, _, re2) = \
+            best_both(res2, B)
         use_rc2 = (rm2 >= 0) & ((fm2 < 0) | (rm2 > fm2))
         idx2 = jnp.where(use_rc2, ri2, fi2)
         qs2 = jnp.where(idx2 >= 0,
                         jnp.maximum(jnp.where(use_rc2, rqs2, fqs2), 0), 0)
+        err2 = jnp.where(use_rc2, re2, fe2)
         h1 = jnp.sum(idx1[:, None] == jnp.arange(A5 + 1)[None, :] - 1,
                      axis=0, dtype=jnp.int32)
         h2 = jnp.sum(idx2[:, None] == jnp.arange(A27 + 1)[None, :] - 1,
                      axis=0, dtype=jnp.int32)
         return (idx1, use_rc1.astype(jnp.int32), qe1, idx2,
-                use_rc2.astype(jnp.int32), qs2,
+                use_rc2.astype(jnp.int32), qs2, err1, err2,
                 jax.lax.psum(h1, "data"), jax.lax.psum(h2, "data"))
 
     return step(b5, b27, jnp.asarray(read_masks), jnp.asarray(read_lens))

@@ -75,8 +75,8 @@ def main():
     cpu_reads = cpu_reads + [encode.revcomp(s) for s in cpu_reads]
     qm = [encode.encode_read_masks(s) for s in cpu_reads]
     t0 = time.time()
-    native.locate_batch(ref_masks5, qm, 0.1, int(FRONT))
-    native.locate_batch(ref_masks27, qm, 0.1, int(BACK))
+    native.locate_batch(ref_masks5, qm, 0.1, int(FRONT), nthreads=1)
+    native.locate_batch(ref_masks27, qm, 0.1, int(BACK), nthreads=1)
     t_cpu = time.time() - t0
     cpu_rps = (n_cpu / 2) / t_cpu  # fwd+rc of n_cpu/2 reads, both rounds
 
@@ -112,7 +112,7 @@ def main():
 
     n_cpu_pairs = 0
     t0 = time.time()
-    D = native.all_vs_all(fam[:64], band=0.0)
+    D = native.all_vs_all(fam[:64], band=0.0, nthreads=1)
     t_cpu_aa = time.time() - t0
     n_cpu_pairs = (D >= 0).sum()
     cpu_cells = float(n_cpu_pairs) * np.mean(lens) ** 2 / t_cpu_aa
@@ -152,6 +152,14 @@ def main():
     t_sort = time.time() - t0
     n_species = sum(len(g) for g in sres.species)
 
+    # Baseline framing (VERDICT r1 next#9): cpu_* numbers are ONE core
+    # running the in-repo C++ oracle with identical semantics (the
+    # reference's compute engines for these stages are cutadapt's C
+    # aligner / edlib, SURVEY.md §2.3). The reference's actual budgets
+    # are 24 cores for demux (02_cutadapt_loop.sh:2-6) and 12 for
+    # amplicon_sorter (03_amplicon_sorter.sh:2-7), so vs_ref_24core /
+    # cluster_vs_ref_12core report the linearly core-scaled comparison
+    # against those budgets alongside the single-core ratio.
     out = {
         "metric": "demux_reads_per_s_per_chip",
         "value": round(tpu_rps, 1),
@@ -159,11 +167,14 @@ def main():
         "vs_baseline": round(tpu_rps / cpu_rps, 2),
         "details": {
             "backend": jax.default_backend(),
-            "cpu_demux_reads_per_s": round(cpu_rps, 1),
+            "cpu_demux_reads_per_s_1core": round(cpu_rps, 1),
+            "vs_ref_24core": round(tpu_rps / (cpu_rps * 24), 2),
             "cluster_device_cells_per_s": round(tpu_cells, 0),
             "cluster_device_pairs_per_s": round(tpu_pairs, 1),
-            "cluster_cpu_cells_per_s": round(cpu_cells, 0),
+            "cluster_cpu_cells_per_s_1core": round(cpu_cells, 0),
             "cluster_vs_cpu": round(tpu_cells / cpu_cells, 2),
+            "cluster_vs_ref_12core": round(tpu_cells / (cpu_cells * 12),
+                                           2),
             "sort_1000reads_e2e_s": round(t_sort, 2),
             "sort_species_found": n_species,
         },

@@ -57,3 +57,35 @@ def test_golden_cluster(golden, reads):
     got = [{"members": s.members, "consensus": s.consensus}
            for g in res.species for s in g]
     assert got == golden["cluster_species"]
+
+
+@pytest.mark.parametrize("name,amp,path", [
+    ("coi", "COI", "golden_coi.fastq"),
+    ("rrna", "RNA", "golden_rrna.fastq"),
+])
+def test_golden_run_all_e2e(tmp_path, name, amp, path):
+    """Full-pipeline golden regression on BOTH amplicon shapes
+    (VERDICT r1 next#10): 450 bp COI (two species) and ~3.7 kb rRNA.
+    Byte-compares demux counts, species groups, the consensusfile,
+    stage-04 cleaned contigs, and stage-05/05b gene outputs against
+    frozen fixtures (generator: fixtures/gen_golden_e2e.py)."""
+    from tpu_orc.pipeline.stages import PipelineConfig, run_all
+
+    with open(os.path.join(FIX, "golden_e2e_expected.json")) as fh:
+        exp = json.load(fh)[name]
+    rep = run_all(os.path.join(FIX, path), str(tmp_path), name, amp,
+                  cfg=PipelineConfig())
+    assert rep["demux"] == exp["demux_bins"]
+    assert rep["barcodes"] == exp["barcodes"]
+    (bc,) = rep["barcodes"].keys()
+    got = open(tmp_path / "sorted" / bc / "consensusfile.fasta").read()
+    assert got == exp["consensusfile"]
+    got = open(tmp_path / "primerless" / bc / f"cleaned_{bc}.fasta").read()
+    assert got == exp["cleaned"]
+    if amp == "COI":
+        got = open(tmp_path / "COI_gene" / bc / f"{bc}_COI.fasta").read()
+        assert got == exp["coi_gene"]
+    else:
+        for g in ("18S", "28S"):
+            got = open(tmp_path / "rRNA_genes" / f"{bc}_{g}.fa").read()
+            assert got == exp[f"rrna_{g}"]

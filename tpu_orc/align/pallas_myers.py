@@ -55,28 +55,39 @@ def build_peq_packed(codes: np.ndarray, m_lens: np.ndarray,
 
 def _kernel(mode, W, TI, TJ, N, unroll,
             peq_ref, mlen_ref, texts_ref, nlen_ref,
-            dist_ref, pos_ref, vp, vn, score, best, bpos):
+            dist_ref, pos_ref, vp, vn, score, best, bpos,
+            chunked: bool = False, chunk_dim: int = 2):
+    """One (TI, TJ) pair tile. When ``chunked``, the text axis is split
+    over a third (innermost, sequential) grid dimension: DP state in the
+    VMEM scratch carries across the chunks of one tile (the standard
+    TPU accumulation-over-grid pattern), so texts of any length stream
+    through a bounded [NC, TJ] VMEM block."""
     hin0 = 0 if mode == "HW" else 1
     ones = jnp.full((TI, TJ), 0xFFFFFFFF, dtype=jnp.uint32)
     zeros32 = jnp.zeros((TI, TJ), jnp.uint32)
-
-    def init_w(w, _):
-        vp[w] = ones
-        vn[w] = zeros32
-        return 0
-
-    jax.lax.fori_loop(0, W, init_w, 0)
+    k = pl.program_id(chunk_dim) if chunked else 0
+    base = k * N                                     # global text offset
     m = mlen_ref[:, 0][:, None]                      # [TI, 1] int32
-    score[:, :] = jnp.broadcast_to(m, (TI, TJ))
-    best[:, :] = score[:, :]
-    bpos[:, :] = jnp.zeros((TI, TJ), jnp.int32)
+
+    @pl.when(k == 0) if chunked else (lambda f: f())
+    def _init():
+        def init_w(w, _):
+            vp[w] = ones
+            vn[w] = zeros32
+            return 0
+
+        jax.lax.fori_loop(0, W, init_w, 0)
+        score[:, :] = jnp.broadcast_to(m, (TI, TJ))
+        best[:, :] = score[:, :]
+        bpos[:, :] = jnp.zeros((TI, TJ), jnp.int32)
+
     w_idx = (m - 1) // WORD                          # [TI, 1]
     r_idx = ((m - 1) % WORD).astype(jnp.uint32)      # [TI, 1]
     nl = nlen_ref[0, :][None, :]                     # [1, TJ]
 
     def col(j, _):
         c = texts_ref[j, :][None, :]                 # [1, TJ] int32
-        valid = (j + 1) <= nl                        # [1, TJ] bool
+        valid = (base + j + 1) <= nl                 # [1, TJ] bool
 
         def word(w, carry):
             hin, sc = carry
@@ -119,7 +130,7 @@ def _kernel(mode, W, TI, TJ, N, unroll,
         if mode != "NW":
             improved = valid & (sc < best[:, :])
             best[:, :] = jnp.where(improved, sc, best[:, :])
-            bpos[:, :] = jnp.where(improved, j + 1, bpos[:, :])
+            bpos[:, :] = jnp.where(improved, base + j + 1, bpos[:, :])
         return 0
 
     jax.lax.fori_loop(0, N, col, 0)
@@ -131,26 +142,57 @@ def _kernel(mode, W, TI, TJ, N, unroll,
         pos_ref[:, :] = bpos[:, :]
 
 
+#: stream texts through [NC_MAX, TJ] VMEM blocks beyond this many rows;
+#: bounds the text block so long-read buckets (>= 4 kb) cannot blow VMEM
+NC_MAX = 2048
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mode", "W", "TI", "TJ", "interpret",
-                                    "unroll"))
+                                    "unroll", "NC"))
 def myers_tile_pallas(peq_packed, m_lens, texts_T, n_lens,
                       mode: str = "NW", W: int = 32, TI: int = 128,
                       TJ: int = 128, interpret: bool = False,
-                      unroll: bool = True):
+                      unroll: bool = True, NC: int | None = None):
     """peq_packed [P, W*NCHAN] uint32, m_lens [P,1] int32,
     texts_T [N, T] int32 (column-major texts), n_lens [1, T] int32.
     P % TI == 0, T % TJ == 0. Returns (dist [P,T] int32, pos [P,T] int32).
+
+    When the text length N exceeds NC (default NC_MAX), the text axis
+    is streamed through a third sequential grid dimension with the DP
+    state carried in scratch (see _kernel) — the long-read path.
     """
     P = peq_packed.shape[0]
     T = texts_T.shape[1]
     N = texts_T.shape[0]
-    grid = (P // TI, T // TJ)
-    kernel = functools.partial(_kernel, mode, W, TI, TJ, N, unroll)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
+    NC = NC or NC_MAX
+    if N > NC:
+        if N % NC:
+            raise ValueError(f"text rows {N} not a multiple of NC={NC}")
+        K = N // NC
+        grid = (P // TI, T // TJ, K)
+        kernel = functools.partial(_kernel, mode, W, TI, TJ, NC, unroll,
+                                   chunked=True)
+        in_specs = [
+            pl.BlockSpec((TI, W * NCHAN), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, 1), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC, TJ), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TJ), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = [
+            pl.BlockSpec((TI, TJ), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, TJ), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        grid = (P // TI, T // TJ)
+        kernel = functools.partial(_kernel, mode, W, TI, TJ, N, unroll)
+        in_specs = [
             pl.BlockSpec((TI, W * NCHAN), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TI, 1), lambda i, j: (i, 0),
@@ -159,13 +201,18 @@ def myers_tile_pallas(peq_packed, m_lens, texts_T, n_lens,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TJ), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
+        ]
+        out_specs = [
             pl.BlockSpec((TI, TJ), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TI, TJ), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((P, T), jnp.int32),
             jax.ShapeDtypeStruct((P, T), jnp.int32),
@@ -181,11 +228,15 @@ def myers_tile_pallas(peq_packed, m_lens, texts_T, n_lens,
     )(peq_packed, m_lens, texts_T, n_lens)
 
 
-def _kernel_pairs(mode, W, TI, TJ, N, unroll, ti_ref, tj_ref, *rest):
+def _kernel_pairs(mode, W, TI, TJ, N, unroll, chunked,
+                  ti_ref, tj_ref, *rest):
     # scalar-prefetch refs select the blocks (used by the index_maps
-    # only); the DP body is identical to the dense-grid kernel
+    # only); the DP body is identical to the dense-grid kernel. In
+    # chunked mode the text-chunk grid axis is dim 1 here (dim 2 in the
+    # dense kernel), so remap program_id via the chunk_dim argument.
     del ti_ref, tj_ref
-    _kernel(mode, W, TI, TJ, N, unroll, *rest)
+    _kernel(mode, W, TI, TJ, N, unroll, *rest, chunked=chunked,
+            chunk_dim=1)
 
 
 @functools.partial(jax.jit,
@@ -209,24 +260,30 @@ def myers_tile_pallas_pairs(tile_i, tile_j, peq_packed, m_lens, texts_T,
     T = texts_T.shape[1]
     N = texts_T.shape[0]
     G = tile_i.shape[0]
-    kernel = functools.partial(_kernel_pairs, mode, W, TI, TJ, N, unroll)
+    NC = min(N, NC_MAX)
+    chunked = N > NC
+    if chunked and N % NC:
+        raise ValueError(f"text rows {N} not a multiple of NC={NC}")
+    K = N // NC if chunked else 1
+    kernel = functools.partial(_kernel_pairs, mode, W, TI, TJ, NC, unroll,
+                               chunked)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(G,),
+        grid=(G, K),
         in_specs=[
-            pl.BlockSpec((TI, W * NCHAN), lambda g, ti, tj: (ti[g], 0),
+            pl.BlockSpec((TI, W * NCHAN), lambda g, k, ti, tj: (ti[g], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, 1), lambda g, ti, tj: (ti[g], 0),
+            pl.BlockSpec((TI, 1), lambda g, k, ti, tj: (ti[g], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, TJ), lambda g, ti, tj: (0, tj[g]),
+            pl.BlockSpec((NC, TJ), lambda g, k, ti, tj: (k, tj[g]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TJ), lambda g, ti, tj: (0, tj[g]),
+            pl.BlockSpec((1, TJ), lambda g, k, ti, tj: (0, tj[g]),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TI, TJ), lambda g, ti, tj: (ti[g], tj[g]),
+            pl.BlockSpec((TI, TJ), lambda g, k, ti, tj: (ti[g], tj[g]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, TJ), lambda g, ti, tj: (ti[g], tj[g]),
+            pl.BlockSpec((TI, TJ), lambda g, k, ti, tj: (ti[g], tj[g]),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -263,6 +320,8 @@ def distances_pallas_pairs(patterns_codes: np.ndarray, m_lens: np.ndarray,
     T0 = texts_codes.shape[0]
     W = max(1, -(-int(patterns_codes.shape[1]) // WORD))
     TI, TJ = tile_shape(W, TI, TJ)
+    if texts_codes.shape[1] > NC_MAX:   # streamed long-text path: the
+        TJ = min(TJ, 256)               # [NC, TJ] block double-buffers
     P = -(-P0 // TI) * TI
     T = -(-T0 // TJ) * TJ
     m = np.ones((P, 1), np.int32)
@@ -302,7 +361,7 @@ def tile_shape(W: int, TI: int | None = None, TJ: int | None = None):
     win until the [2, W, TI, TJ] uint32 scratch presses VMEM; shrink TJ
     as W grows (W=56 @ 32x256 -> 7.3 MB, W=128 @ 32x128 -> 8.4 MB)."""
     if TI is None:
-        TI = 32
+        TI = 32 if W <= 128 else 16   # keep 2*W*TI*TJ*4B scratch < VMEM
     if TJ is None:
         TJ = 512 if W <= 24 else (256 if W <= 56 else 128)
     return TI, TJ
@@ -324,6 +383,8 @@ def distances_pallas(patterns_codes: np.ndarray, m_lens: np.ndarray,
     T0 = texts_codes.shape[0]
     W = max(1, -(-int(patterns_codes.shape[1]) // WORD))
     TI, TJ = tile_shape(W, TI, TJ)
+    if texts_codes.shape[1] > NC_MAX:   # streamed long-text path: the
+        TJ = min(TJ, 256)               # [NC, TJ] block double-buffers
     P = -(-P0 // TI) * TI
     T = -(-T0 // TJ) * TJ
     m = np.ones((P, 1), np.int32)

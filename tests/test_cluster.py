@@ -231,3 +231,29 @@ def test_all_vs_all_threaded_matches_single(rng):
     d1 = native.all_vs_all(seqs, band=1.05, nthreads=1)
     d2 = native.all_vs_all(seqs, band=1.05, nthreads=4)
     assert (d1 == d2).all()
+
+
+def test_device_pileup_backend_parity(rng):
+    """The Pallas path-bits kernel + C++ traceback-from-bits (consensus
+    backend='device') reproduces the host pileup counts bit-for-bit
+    (interpret mode on CPU; the same kernel runs compiled on TPU)."""
+    from tpu_orc.cluster import consensus as C
+    for trial in range(4):
+        L = int(rng.integers(40, 260))
+        base = rng.integers(0, 4, size=L).astype(np.uint8)
+        reads = []
+        for _ in range(int(rng.integers(1, 12))):
+            s = list(base)
+            for _ in range(int(rng.integers(0, max(2, L // 8)))):
+                op = int(rng.integers(0, 3))
+                p = int(rng.integers(0, len(s)))
+                if op == 0:
+                    s[p] = int(rng.integers(0, 5))
+                elif op == 1 and len(s) > 1:
+                    del s[p]
+                else:
+                    s.insert(p, int(rng.integers(0, 5)))
+            reads.append(np.array(s, np.uint8))
+        a = C.pileup_counts(base, reads, backend="native")
+        b = C.pileup_counts(base, reads, backend="device")
+        assert a.shape == b.shape and (a == b).all(), trial

@@ -133,9 +133,23 @@ def pileup_counts(consensus_codes: np.ndarray,
                   backend: str = "native") -> np.ndarray:
     """Per-column base counts [W, 5] of the star alignment of ``reads``
     against the draft (draft row included). backend='native' runs the
-    fused threaded C++ pileup (one crossing per group); 'python' keeps
-    the original _align_rows path — both are parity-tested."""
-    if backend == "native":
+    fused threaded C++ pileup (one crossing per group); 'device' runs
+    the DP forward pass on TPU (align/pallas_pileup.py path-bits kernel)
+    with only the O(m+n) traceback + accumulation on host; 'python'
+    keeps the original _align_rows path. All three are parity-tested."""
+    if backend == "device" and len(reads) > 0:
+        import jax
+
+        from ..align.pallas_pileup import path_bits
+        planes = path_bits(np.asarray(consensus_codes, dtype=np.uint8),
+                           [np.ascontiguousarray(q, dtype=np.uint8)
+                            for q in reads],
+                           interpret=jax.default_backend() == "cpu")
+        return native.pileup_from_bits(
+            planes, [np.ascontiguousarray(q, dtype=np.uint8)
+                     for q in reads],
+            np.asarray(consensus_codes, dtype=np.uint8)).astype(np.int64)
+    if backend in ("native", "device"):
         return native.pileup_batch(
             [np.ascontiguousarray(q, dtype=np.uint8) for q in reads],
             np.asarray(consensus_codes, dtype=np.uint8)).astype(np.int64)

@@ -66,6 +66,12 @@ def lib() -> ctypes.CDLL:
     L.orc_nw_dist_batch.argtypes = [u8p, ctypes.c_int, u8p, i64p, i32p,
                                     ctypes.c_int, i32p, ctypes.c_int]
     L.orc_nw_dist_batch.restype = None
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    L.orc_pileup_from_bits.argtypes = [u32p, ctypes.c_long, ctypes.c_int,
+                                       u8p, i64p, i32p, ctypes.c_int,
+                                       u8p, ctypes.c_int, i32p,
+                                       ctypes.c_int, ctypes.c_int]
+    L.orc_pileup_from_bits.restype = ctypes.c_long
     _lib = L
     return L
 
@@ -186,6 +192,39 @@ def pileup_batch(codes_list, cons_codes: np.ndarray,
                                    counts.reshape(-1), capw, nthreads)
         if w < 0:
             raise RuntimeError("pileup_batch width overflow")
+    return counts[:w]
+
+
+def pileup_from_bits(planes: np.ndarray, codes_list,
+                     cons_codes: np.ndarray, nthreads: int = 0
+                     ) -> np.ndarray:
+    """Pileup counts [W5, 5] from device-computed Myers bit-planes.
+
+    planes: [R, ncols, 4, Wd] uint32 (per read, per read-position, the
+    VP/VN/PH/MH delta words over the draft; align/pallas_pileup.py).
+    Returns the same counts matrix as pileup_batch."""
+    cons = np.ascontiguousarray(cons_codes, dtype=np.uint8)
+    n = len(codes_list)
+    planes = np.ascontiguousarray(planes, dtype=np.uint32)
+    R, ncols, four, Wd = planes.shape
+    assert four == 4 and R >= n
+    seqs, offs, lens = _concat(codes_list)
+    assert ncols >= (int(lens.max()) if n else 0)
+    capw = (int(lens.max()) if n else 0) + 2 * len(cons) + 16
+    counts = np.zeros((capw, 5), np.int32)
+    stride = ncols * 4 * Wd
+    w = lib().orc_pileup_from_bits(planes.reshape(-1), stride, Wd,
+                                   seqs, offs, lens, n, cons, len(cons),
+                                   counts.reshape(-1), capw, nthreads)
+    if w < 0:
+        capw = int(lens.sum()) + len(cons) + 16
+        counts = np.zeros((capw, 5), np.int32)
+        w = lib().orc_pileup_from_bits(planes.reshape(-1), stride, Wd,
+                                       seqs, offs, lens, n, cons,
+                                       len(cons), counts.reshape(-1),
+                                       capw, nthreads)
+        if w < 0:
+            raise RuntimeError("pileup_from_bits failed")
     return counts[:w]
 
 

@@ -396,6 +396,12 @@ void orc_nw_path_batch(const uint8_t* seqs, const long* offs,
 // counts is [capw, 5] int32 row-major. Returns the alignment width, or
 // -1 if capw is too small (caller retries or falls back).
 // ---------------------------------------------------------------------------
+static long pileup_accumulate(const uint8_t* seqs, const long* offs,
+                              int nreads, const uint8_t* cons, int lc,
+                              const std::vector<uint8_t>& ops, int stride,
+                              const std::vector<int>& nops,
+                              int* counts, int capw);
+
 long orc_pileup_batch(const uint8_t* seqs, const long* offs, const int* lens,
                       int nreads, const uint8_t* cons, int lc,
                       int* counts, int capw, int nthreads) {
@@ -418,6 +424,15 @@ long orc_pileup_batch(const uint8_t* seqs, const long* offs, const int* lens,
     });
     for (int r = 0; r < nreads; r++)
         if (nops[r] < 0) return -1;
+    return pileup_accumulate(seqs, offs, nreads, cons, lc, ops, stride,
+                             nops, counts, capw);
+}
+
+static long pileup_accumulate(const uint8_t* seqs, const long* offs,
+                              int nreads, const uint8_t* cons, int lc,
+                              const std::vector<uint8_t>& ops, int stride,
+                              const std::vector<int>& nops,
+                              int* counts, int capw) {
     // pass 1: per-draft-position max insertion-run length across reads
     std::vector<int> ins_count(lc + 1, 0);
     for (int r = 0; r < nreads; r++) {
@@ -471,6 +486,88 @@ long orc_pileup_batch(const uint8_t* seqs, const long* offs, const int* lens,
         }
     }
     return width;
+}
+
+// ---------------------------------------------------------------------------
+// Pileup from DEVICE-computed Myers bit-planes (the Pallas path-bits
+// kernel, align/pallas_pileup.py). The kernel runs the forward DP with
+// pattern = DRAFT and texts = reads, storing per READ position j the
+// four delta planes over the draft words:
+//   plane 0/1: VP/VN  (post-update; bit i-1 = score(i,j)-score(i-1,j))
+//   plane 2/3: PH/MH  (pre-shift;  bit i-1 = score(i,j)-score(i,j-1))
+// This traceback walks score-consistent moves with the preference
+// diag > consume-READ > consume-DRAFT — the transposed image of
+// myers_nw_path's (pattern=read) diag > consume-A > consume-B order, so
+// the emitted op sequences are identical (both walk true full-matrix
+// scores). planes layout per read: [ncols][4][W] uint32, ncols >= read
+// length. Emits ops in the shared 0=diag 1=consume-read 2=consume-draft
+// convention, then runs the same pileup accumulation as
+// orc_pileup_batch. Returns width or -1.
+// ---------------------------------------------------------------------------
+static int traceback_from_bits(const uint32_t* planes, int W,
+                               const uint8_t* read, int n,
+                               const uint8_t* draft, int lc,
+                               uint8_t* ops, int cap) {
+    auto bit = [&](int j, int plane, int i) -> int {
+        // column j is 1-based (state after read char j)
+        const uint32_t v =
+            planes[((size_t)(j - 1) * 4 + plane) * W + (i - 1) / 32];
+        return (int)((v >> ((i - 1) % 32)) & 1);
+    };
+    auto vdelta = [&](int i, int j) -> int {
+        if (j == 0) return 1;   // initial VP = all ones
+        return bit(j, 0, i) - bit(j, 1, i);
+    };
+    auto hdelta = [&](int i, int j) -> int {
+        return bit(j, 2, i) - bit(j, 3, i);
+    };
+    // starting score: lc + sum of top-row horizontal deltas
+    int s = lc;
+    for (int j = 1; j <= n; j++) s += hdelta(lc, j);
+    int i = lc, j = n, nops_ = 0;
+    std::vector<uint8_t> rev;
+    rev.reserve(lc + n);
+    while (i > 0 && j > 0) {
+        const int s_left = s - hdelta(i, j);
+        const int s_diag = s_left - vdelta(i, j - 1);
+        const int cost = (draft[i - 1] == read[j - 1]) ? 0 : 1;
+        if (s_diag + cost == s) {
+            rev.push_back(0); s = s_diag; i--; j--;
+        } else if (s_left + 1 == s) {
+            rev.push_back(1); s = s_left; j--;       // consume read
+        } else if (vdelta(i, j) == 1) {
+            rev.push_back(2); s -= 1; i--;           // consume draft
+        } else {
+            return -1;
+        }
+        nops_++;
+    }
+    while (j > 0) { rev.push_back(1); j--; nops_++; }
+    while (i > 0) { rev.push_back(2); i--; nops_++; }
+    if (nops_ > cap) return -1;
+    for (int k2 = 0; k2 < nops_; k2++) ops[k2] = rev[nops_ - 1 - k2];
+    return nops_;
+}
+
+long orc_pileup_from_bits(const uint32_t* planes, long plane_stride,
+                          int W, const uint8_t* seqs, const long* offs,
+                          const int* lens, int nreads,
+                          const uint8_t* cons, int lc,
+                          int* counts, int capw, int nthreads) {
+    int maxlen = lc;
+    for (int r = 0; r < nreads; r++) maxlen = std::max(maxlen, lens[r]);
+    const int stride = maxlen + lc + 1;
+    std::vector<uint8_t> ops((size_t)nreads * stride);
+    std::vector<int> nops(nreads);
+    parallel_for(nreads, orc_nthreads(nthreads), [&](int r) {
+        nops[r] = traceback_from_bits(
+            planes + (size_t)r * plane_stride, W, seqs + offs[r],
+            lens[r], cons, lc, ops.data() + (size_t)r * stride, stride);
+    });
+    for (int r = 0; r < nreads; r++)
+        if (nops[r] < 0) return -1;
+    return pileup_accumulate(seqs, offs, nreads, cons, lc, ops, stride,
+                             nops, counts, capw);
 }
 
 // Batched one-vs-many NW distances (threaded): the finetune/converge

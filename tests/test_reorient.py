@@ -125,3 +125,32 @@ def test_keep_primers_preserves_indices(profiles):
     out = res.passed[0].seq
     assert c5 in out and c27rc in out         # primers kept
     assert "GGTTGG" not in out and "CCAACC" not in out  # junk trimmed
+
+
+def test_primers_out_of_order_unclassified(reorienter, profiles, rng):
+    """3' primer located BEFORE the 5' primer (a chimera artifact):
+    pychopper requires the configured primer order along the read, so
+    the read is unclassified rather than trimmed to a negative span."""
+    sp5, sp27 = profiles
+    insert = "".join(rng.choice(list("ACGT"), size=120))
+    # -SP27 region first, then +SP5: matches neither '+' nor '-' layout
+    seq = encode.revcomp(concretize(rng, sp27)) + insert \
+        + concretize(rng, sp5)
+    res = reorienter.run([Record("x", "x", seq, q(len(seq)))])
+    assert res.stats["unclass"] == 1 and res.stats["pass"] == 0
+
+
+def test_orientation_vote_both_strands(reorienter, profiles, rng):
+    """A batch mixing + and - reads of the same insert comes out
+    uniformly oriented: the - read's emitted segment equals the + read's
+    (the pychopper contract the downstream demux depends on)."""
+    sp5, sp27 = profiles
+    insert = "".join(rng.choice(list("ACGT"), size=150))
+    plus = concretize(rng, sp5) + insert + encode.revcomp(
+        concretize(rng, sp27))
+    minus = encode.revcomp(plus)
+    res = reorienter.run([Record("p", "p", plus, q(len(plus))),
+                          Record("m", "m", minus, q(len(minus)))])
+    assert res.stats["pass"] == 2
+    segs = {r.id: r.seq for r in res.passed}
+    assert segs["p"] == segs["m"] == insert

@@ -144,7 +144,6 @@ class Reorienter:
                     out.unclass.append(r)
             # iterative segmentation for fused reads
             depth = 0
-            first_segment: Dict[str, bool] = {}
             while work and depth < cfg.max_segments:
                 hits = self._locate_all([w[1] for w in work])
                 nxt = []

@@ -99,8 +99,11 @@ def main():
     if jax.default_backend() == "cpu":
         tile_fn = lambda: myers.distances(pat, lens, pat, lens)
     else:  # production scorer path: Pallas kernel, auto-tuned tiles
+        # (fetch_pos=False: the NW scorer never reads the position
+        # matrix — matches cluster/scoring.py)
         from tpu_orc.align.pallas_myers import distances_pallas
-        tile_fn = lambda: distances_pallas(pat, lens, pat, lens, "NW")
+        tile_fn = lambda: distances_pallas(pat, lens, pat, lens, "NW",
+                                           fetch_pos=False)
     tile_fn()  # compile
     t0 = time.time()
     for _ in range(reps):

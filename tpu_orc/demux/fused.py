@@ -138,8 +138,10 @@ def _fused_core(t5, t27, masks, lens, Ap5: int, L: int, Ap27: int,
     qs2 = jnp.where(idx2 >= 0,
                     jnp.maximum(jnp.where(use_rc2, r_qs, f_qs), 0), 0)
     err2 = jnp.where(use_rc2, r_e2, f_e2)
-    return (idx1, use_rc1.astype(jnp.int32), qe1,
-            idx2, use_rc2.astype(jnp.int32), qs2, err1, err2)
+    # ONE stacked [8, B] output -> one device->host transfer (each
+    # separate fetch pays full relay latency over the tunneled link)
+    return jnp.stack([idx1, use_rc1.astype(jnp.int32), qe1,
+                      idx2, use_rc2.astype(jnp.int32), qs2, err1, err2])
 
 
 class FusedDemux:
@@ -171,10 +173,10 @@ class FusedDemux:
             masks = np.concatenate(
                 [masks, np.zeros((B - B0, L), masks.dtype)])
             lens = np.concatenate([lens, np.zeros(B - B0, lens.dtype)])
-        out = _fused_core(self._a5, self._a27, jnp.asarray(masks),
-                          jnp.asarray(lens), self.t5.Ap, L, self.t27.Ap,
-                          self.interpret)
-        return FusedDecision(*(np.asarray(x)[:B0] for x in out))
+        out = np.asarray(_fused_core(
+            self._a5, self._a27, jnp.asarray(masks), jnp.asarray(lens),
+            self.t5.Ap, L, self.t27.Ap, self.interpret))
+        return FusedDecision(*(out[k, :B0] for k in range(8)))
 
     def assign(self, records: Sequence[Record], batch_size: int = 2048,
                max_len: int = 512):

@@ -279,3 +279,42 @@ def test_run_all_rna_stage05_default(tmp_path, rng):
     # the 18S segment ends at/near the junction anchor (cons may differ
     # by a base or two from the template)
     assert abs(len(seq18) - (500 + len(ANCHOR_18S_END))) <= 6
+
+
+def test_cli_sort_flags_sfq_gz(tmp_path, rng):
+    """CLI sort exposes the full amplicon_sorter flag surface: -sfq
+    writes per-group fastq (with quals), -c gzips group files, and the
+    threshold flags reach SorterConfig."""
+    import gzip
+    import subprocess
+    import sys
+
+    t = "".join(rng.choice(list("ACGT"), size=400))
+    recs = []
+    for i in range(12):
+        s = list(t)
+        for _ in range(8):
+            s[int(rng.integers(0, len(s)))] = str(rng.choice(list("ACGT")))
+        s = "".join(s)
+        recs.append(Record(f"r{i}", f"r{i}", s, "I" * len(s)))
+    fq = tmp_path / "bin.fastq"
+    write_records(str(fq), recs, fmt="fastq")
+    r = subprocess.run(
+        [sys.executable, "-m", "tpu_orc.cli", "sort", str(fq),
+         "-o", str(tmp_path), "-b", "BC9", "--sfq", "--gz",
+         "--sg", "0.8", "--ss", "0.85", "--sc", "0.96", "--ldc", "8",
+         "--np", "4"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": os.pathsep.join(
+                 [os.getcwd()] + os.environ.get(
+                     "PYTHONPATH", "").split(os.pathsep))})
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["species_groups"] == 1
+    gdir = tmp_path / "sorted" / "BC9"
+    fastas = list(gdir.glob("BC9_*_*.fasta.gz"))
+    fastqs = list(gdir.glob("BC9_*_*.fastq.gz"))
+    assert fastas and fastqs
+    txt = gzip.open(fastqs[0], "rt").read()
+    assert txt.startswith("@") and "+\n" in txt

@@ -76,6 +76,27 @@ def main(argv=None):
     sp.add_argument("--seed", type=int, default=42)
     sp.add_argument("--amb", action="store_true",
                     help="IUPAC ambiguity calls in consensus (-amb)")
+    # remaining amplicon_sorter threshold flags (amplicon_sorter.py:126-191)
+    sp.add_argument("--sg", type=float, default=0.80,
+                    help="similar_genes threshold (-sg, %% as fraction)")
+    sp.add_argument("--ssg", type=float, default=None,
+                    help="similar_species_groups (-ssg; default estimate)")
+    sp.add_argument("--ss", type=float, default=0.85,
+                    help="similar_species ladder floor (-ss)")
+    sp.add_argument("--sc", type=float, default=0.96,
+                    help="similar_consensus merge threshold (-sc)")
+    sp.add_argument("--ldc", type=float, default=8.0,
+                    help="length_diff_consensus %% (-ldc)")
+    sp.add_argument("--np", dest="np_", type=int, default=None,
+                    help="accepted for reference-CLI compatibility "
+                         "(parallelism is device tiling, not processes)")
+    sp.add_argument("--sequential", action="store_true",
+                    help="take the first maxr reads instead of a random "
+                         "sample (inverse of reference -ar)")
+    sp.add_argument("--sfq", action="store_true",
+                    help="also write per-group .fastq outputs (-sfq)")
+    sp.add_argument("--gz", action="store_true",
+                    help="gzip group outputs (reference -c)")
 
     sp = add("clean")
     sp.add_argument("input")
@@ -161,9 +182,14 @@ def main(argv=None):
         from .pipeline.stages import PipelineConfig, stage_sort
         cfg = PipelineConfig(sorter=SorterConfig(
             min_length=args.min, max_length=args.max, max_reads=args.maxr,
-            seed=args.seed, ambiguous=args.amb))
+            seed=args.seed, ambiguous=args.amb,
+            similar_genes=args.sg, similar_species_groups=args.ssg,
+            similar_species=args.ss, similar_consensus=args.sc,
+            length_diff_consensus=args.ldc,
+            random_selection=not args.sequential))
         result, path = stage_sort(args.input, args.outdir, args.barcode,
-                                  args.prefix, cfg)
+                                  args.prefix, cfg, save_fastq=args.sfq,
+                                  compressed=args.gz)
         print(json.dumps({"skipped": result.skipped,
                           "reads": result.n_reads,
                           "species_groups": sum(len(s)

@@ -22,9 +22,16 @@ from .engine import SortResult
 
 def write_sort_outputs(result: SortResult, records: Sequence[Record],
                        outdir: str, stem: str,
-                       params: Dict | None = None) -> Dict[str, str]:
-    """Write all reference-layout outputs; returns path map."""
+                       params: Dict | None = None,
+                       save_fastq: bool = False,
+                       compressed: bool = False) -> Dict[str, str]:
+    """Write all reference-layout outputs; returns path map.
+
+    save_fastq: also write per-group .fastq with original quality
+    strings (amplicon_sorter -sfq); compressed: gzip every group file
+    (-c)."""
     os.makedirs(outdir, exist_ok=True)
+    gz = ".gz" if compressed else ""
     paths: Dict[str, str] = {}
     consensus_records: List[Record] = []
     run_consensus: List[Record] = []
@@ -36,9 +43,14 @@ def write_sort_outputs(result: SortResult, records: Sequence[Record],
                 members = [records[i] for i in grp.members]
                 out = [Record(r.id, r.desc, r.seq, r.qual) for r in members]
                 out.append(Record("consensus", "consensus", grp.consensus))
-                p = os.path.join(outdir, f"{tag}.fasta")
+                p = os.path.join(outdir, f"{tag}.fasta{gz}")
                 write_records(p, out, fmt="fasta")
                 paths[tag] = p
+                if save_fastq and any(r.qual for r in members):
+                    pq = os.path.join(outdir, f"{tag}.fastq{gz}")
+                    write_records(pq, [r for r in members if r.qual],
+                                  fmt="fastq")
+                    paths[tag + ".fastq"] = pq
                 consensus_records.append(
                     Record(tag, f"{tag}({len(grp.members)})",
                            grp.consensus))

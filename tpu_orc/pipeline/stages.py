@@ -114,7 +114,8 @@ def stage_demux(in_fastq: str, outdir: str, dataset: str,
 
 
 def stage_sort(bin_fastq: str, outdir: str, barcode: str, prefix: str,
-               cfg: PipelineConfig, mesh=None):
+               cfg: PipelineConfig, mesh=None, save_fastq: bool = False,
+               compressed: bool = False):
     from ..cluster.scoring import DeviceScorer
     records = list(read_records(bin_fastq))
     mesh = mesh if mesh is not None else cfg.mesh()
@@ -123,7 +124,8 @@ def stage_sort(bin_fastq: str, outdir: str, barcode: str, prefix: str,
     sorter = AmpliconSorter(cfg.sorter, scorer=scorer)
     result = sorter.sort_records(records)
     sorted_dir = os.path.join(outdir, "sorted", barcode)
-    write_sort_outputs(result, records, sorted_dir, barcode)
+    write_sort_outputs(result, records, sorted_dir, barcode,
+                       save_fastq=save_fastq, compressed=compressed)
     consensus_path = write_barcode_consensus(
         result, os.path.join(outdir, "sorted"), barcode, prefix)
     return result, consensus_path

@@ -117,6 +117,11 @@ def main(argv=None):
     sp.add_argument("--exemplars-28s")
     sp.add_argument("--hmm", help="HMMER3 .hmm with 18S/28S models")
 
+    sp = add("prewarm")
+    sp.add_argument("--adapters-dir",
+                    default="/root/reference/adapters_primers")
+    sp.add_argument("--batch", type=int, default=2048)
+
     sp = add("extract-max")
     sp.add_argument("mode", choices=["ribo", "coi"])
     sp.add_argument("indir")
@@ -224,6 +229,11 @@ def main(argv=None):
         hits = extract_rrna(list(read_records(args.input)), args.outdir,
                             args.barcode, **kw)
         print(json.dumps({g: len(h) for g, h in hits.items()}))
+    elif args.cmd == "prewarm":
+        from .utils.prewarm import prewarm
+        timings = prewarm(adapters_dir=args.adapters_dir,
+                          demux_batch=args.batch)
+        print(json.dumps(timings))
     elif args.cmd == "extract-max":
         from .pipeline.extractors import extract_coi_max, extract_ribo_max
         fn = extract_ribo_max if args.mode == "ribo" else extract_coi_max

@@ -318,3 +318,55 @@ def test_cli_sort_flags_sfq_gz(tmp_path, rng):
     assert fastas and fastqs
     txt = gzip.open(fastqs[0], "rt").read()
     assert txt.startswith("@") and "+\n" in txt
+
+
+def test_run_all_bin_workers_byte_identical(tmp_path, rng):
+    """bin_workers=2 (concurrent barcode bins, the SLURM-array analogue)
+    produces byte-identical pipeline artifacts to the sequential run."""
+    import filecmp
+    import gzip
+    from tpu_orc.demux.adapters import AdapterBank
+    from tpu_orc.io import encode
+    from tpu_orc.pipeline.stages import PipelineConfig, run_all
+
+    REF = "/root/reference/adapters_primers"
+    sp5 = AdapterBank.from_fasta(f"{REF}/M13_amplicon_indices_forward.fa",
+                                 0.1)
+    sp27 = AdapterBank.from_fasta(f"{REF}/M13_amplicon_indices_reverse_rc.fa",
+                                  0.1)
+    tmpls = ["".join(rng.choice(list("ACGT"), size=380)) for _ in range(3)]
+
+    def noisy(t, k):
+        s = list(t)
+        for _ in range(k):
+            s[int(rng.integers(0, len(s)))] = str(rng.choice(list("ACGT")))
+        return "".join(s)
+
+    recs = []
+    for i in range(36):
+        b = i % 3                       # 3 distinct bins
+        s = sp5.seqs[b] + noisy(tmpls[b], 10) + sp27.seqs[b]
+        if i % 4 == 0:
+            s = encode.revcomp(s)
+        recs.append(Record(f"r{i}", f"r{i}", s, "I" * len(s)))
+    fq = tmp_path / "in.fastq"
+    write_records(str(fq), recs, fmt="fastq")
+
+    rep1 = run_all(str(fq), str(tmp_path / "seq"), "ds", "COI",
+                   cfg=PipelineConfig(bin_workers=1))
+    rep2 = run_all(str(fq), str(tmp_path / "par"), "ds", "COI",
+                   cfg=PipelineConfig(bin_workers=2))
+    assert len(rep1["barcodes"]) == 3
+    assert rep1["barcodes"] == rep2["barcodes"]
+    skip = {"metrics.json", "run_report.json"}
+    for root, _, files in os.walk(tmp_path / "seq"):
+        for f in files:
+            if f in skip:
+                continue
+            a = os.path.join(root, f)
+            b = a.replace(str(tmp_path / "seq"), str(tmp_path / "par"))
+            assert os.path.exists(b), b
+            if f.endswith(".gz"):
+                assert gzip.open(a).read() == gzip.open(b).read(), a
+            else:
+                assert filecmp.cmp(a, b, shallow=False), a

@@ -165,6 +165,9 @@ def main(argv=None):
     sp.add_argument("--mesh", action="store_true",
                     help="shard demux reads and clustering stripes over "
                          "all visible devices (jax.sharding mesh)")
+    sp.add_argument("--bin-workers", type=int, default=1,
+                    help="concurrent barcode bins in stages 03-05 "
+                         "(overlaps host consensus with device scoring)")
 
     args = p.parse_args(argv)
 
@@ -265,7 +268,8 @@ def main(argv=None):
         cfg = PipelineConfig(rrna_hmm=args.rrna_hmm,
                              rrna_exemplars_18s=args.exemplars_18s,
                              rrna_exemplars_28s=args.exemplars_28s,
-                             use_mesh=args.mesh)
+                             use_mesh=args.mesh,
+                             bin_workers=args.bin_workers)
         rep = run_all(args.input, args.outdir, args.dataset, args.amplicon,
                       cfg=cfg, trace_dir=args.trace)
         print(json.dumps(rep, default=str))

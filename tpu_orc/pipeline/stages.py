@@ -56,6 +56,11 @@ class PipelineConfig:
     # device; True = all visible devices (SLURM-array fan-out replaced
     # by mesh data parallelism, SURVEY.md §2.4).
     use_mesh: bool = False
+    # concurrent barcode bins in run_all stages 03-05 (the reference's
+    # 96-way SLURM array): >1 overlaps host consensus/cleanup of one
+    # bin with device scoring of another. Outputs are bin-independent
+    # and byte-identical to sequential (tests/test_pipeline.py).
+    bin_workers: int = 1
 
     def mesh(self):
         if not self.use_mesh:
@@ -229,7 +234,13 @@ def run_all(in_fastq: str, outdir: str, dataset: str, amplicon: str,
             "binned_reads": sum(demux_rep["final_bins"].values())}
 
         report["barcodes"] = {}
-        for comb in sorted(demux_rep["final_bins"]):
+
+        def process_bin(comb: str):
+            """Stages 03-05 for one barcode bin — the reference's SLURM
+            array-task unit (03_amplicon_sorter.sh:7). Bins are fully
+            independent (own dirs, own seeded sorter), so
+            cfg.bin_workers > 1 overlaps one bin's host-side consensus
+            with another bin's device scoring."""
             bin_path = os.path.join(outdir, "demuxed", "SP27",
                                     f"{comb}_{dataset}.fastq.gz")
             with met.stage(f"03_sort/{comb}") as st:
@@ -253,7 +264,18 @@ def run_all(in_fastq: str, outdir: str, dataset: str, amplicon: str,
                         hits = stage_rrna(cleaned_path, outdir, comb, cfg)
                         st.count(n_contigs=len(clean))
                     rep_bc["rrna"] = {g: len(h) for g, h in hits.items()}
-            report["barcodes"][comb] = rep_bc
+            return comb, rep_bc
+
+        combs = sorted(demux_rep["final_bins"])
+        if cfg.bin_workers > 1 and len(combs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(cfg.bin_workers) as pool:
+                for comb, rep_bc in pool.map(process_bin, combs):
+                    report["barcodes"][comb] = rep_bc
+        else:
+            for comb in combs:
+                comb, rep_bc = process_bin(comb)
+                report["barcodes"][comb] = rep_bc
 
         if amplicon.upper() == "COI":
             with met.stage("05b_reorganise_cois") as st:

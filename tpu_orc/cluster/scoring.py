@@ -186,9 +186,11 @@ class DeviceScorer:
         return PairHits(ii, jj, sims[keep], rev[keep])
 
     # -- reads vs consensuses (species ladder) ----------------------------
-    # Fixed chunk sizes: shape diversity means XLA recompiles; one (64 x
-    # 512) tile shape per length bucket covers every ladder call.
-    R_CHUNK = 256
+    # Fixed chunk sizes: shape diversity means XLA recompiles; one tile
+    # shape per length bucket covers every ladder call. R_CHUNK sized so
+    # a 10k-read pool needs ~5 dispatches per call instead of 40 (each
+    # dispatch pays full relay latency on this link).
+    R_CHUNK = 2048
     C_CHUNK = 64
 
     def reads_vs_consensus_sims(self, read_codes: Sequence[np.ndarray],

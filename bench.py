@@ -10,6 +10,16 @@ same locate semantics on this host's CPUs — the reference pipeline's own
 compute engine for this stage is cutadapt's C aligner doing the same DP
 (the reference publishes no numbers, BASELINE.md).
 
+Reproducibility (round-3 hardening, VERDICT r2 weak #1):
+* every timing is the MEDIAN of >= 5 reps (device) with dispersion
+  ((max-min)/median) reported in details;
+* CPU baseline windows are adaptive — work repeats until >= 2 s of
+  wall clock has accumulated (the r2 regression traced to 30-60 ms CPU
+  bursts on a contended 2-core host: a single scheduler hiccup moved
+  the "baseline" 3x);
+* ORC_THREADS is pinned to 1 for the baseline (and nthreads=1 passed
+  explicitly); time.perf_counter throughout; compile excluded by warmup.
+
 Secondary details: all-vs-all Myers clustering throughput (cells/s and
 pairwise alignments/s) on device vs the C++ 64-bit Myers.
 """
@@ -22,8 +32,38 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ["ORC_THREADS"] = "1"  # single-core CPU baseline, pinned
 
 import numpy as np
+
+DEVICE_REPS = 5
+CPU_WINDOW_S = 2.0
+
+
+def median_time(fn, reps: int = DEVICE_REPS):
+    """Median + dispersion of per-rep wall times (fn must block)."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    med = float(np.median(ts))
+    disp = (max(ts) - min(ts)) / med if med > 0 else 0.0
+    return med, disp
+
+
+def cpu_window(fn, min_s: float = CPU_WINDOW_S, max_iters: int = 1000):
+    """Repeat fn until >= min_s of wall clock accumulates; returns
+    (total_seconds, n_iterations). Long windows absorb scheduler noise
+    on the shared 2-core host (the r2 bench variance source)."""
+    t0 = time.perf_counter()
+    n = 0
+    while True:
+        fn()
+        n += 1
+        el = time.perf_counter() - t0
+        if el >= min_s or n >= max_iters:
+            return el, n
 
 
 def main():
@@ -54,31 +94,30 @@ def main():
     recs = [Record(f"r{i}", f"r{i}", s, "I" * len(s))
             for i, s in enumerate(reads)]
 
-    # --- device: fused dual-round demux (one upload; rc, round-1 FRONT,
-    # on-device trim, round-2 BACK all in one device program), including
-    # host packing and output-read materialization
+    # --- device: fused dual-round demux (2-bit packed upload; rc,
+    # round-1 FRONT, on-device trim, round-2 BACK in one device program),
+    # including host packing and vectorized output materialization
     fd = FusedDemux(sp5, sp27)
-    device_round = lambda: fd.assign(recs, batch_size=B, max_len=512)
+    device_round = lambda: fd.assign(recs, batch_size=B)
     device_round()  # warmup/compile
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        device_round()
-    t_dev = (time.time() - t0) / reps
+    t_dev, disp_dev = median_time(device_round)
     tpu_rps = B / t_dev
 
-    # --- CPU baseline: identical semantics via the C++ oracle
+    # --- CPU baseline: identical semantics via the C++ oracle, >= 2 s
+    # window (adaptive iteration count)
     ref_masks5 = [encode.encode_ref_masks(s) for s in sp5.seqs]
     ref_masks27 = [encode.encode_ref_masks(s) for s in sp27.seqs]
     n_cpu = 256
     cpu_reads = reads[:n_cpu // 2]
     cpu_reads = cpu_reads + [encode.revcomp(s) for s in cpu_reads]
     qm = [encode.encode_read_masks(s) for s in cpu_reads]
-    t0 = time.time()
-    native.locate_batch(ref_masks5, qm, 0.1, int(FRONT), nthreads=1)
-    native.locate_batch(ref_masks27, qm, 0.1, int(BACK), nthreads=1)
-    t_cpu = time.time() - t0
-    cpu_rps = (n_cpu / 2) / t_cpu  # fwd+rc of n_cpu/2 reads, both rounds
+
+    def cpu_demux():
+        native.locate_batch(ref_masks5, qm, 0.1, int(FRONT), nthreads=1)
+        native.locate_batch(ref_masks27, qm, 0.1, int(BACK), nthreads=1)
+
+    t_cpu, n_iter = cpu_window(cpu_demux)
+    cpu_rps = (n_iter * n_cpu / 2) / t_cpu  # fwd+rc pairs, both rounds
 
     # --- clustering: device Myers all-vs-all tile vs C++ Myers
     # (1024 reads ~ the reference's 1000-read all-vs-all blocks,
@@ -97,7 +136,8 @@ def main():
         pat[i, :len(c)] = c
         lens[i] = len(c)
     if jax.default_backend() == "cpu":
-        tile_fn = lambda: myers.distances(pat, lens, pat, lens)
+        tile_fn = lambda: np.asarray(
+            myers.distances(pat, lens, pat, lens))
     else:  # production scorer path: Pallas kernel, auto-tuned tiles
         # (fetch_pos=False: the NW scorer never reads the position
         # matrix — matches cluster/scoring.py)
@@ -105,26 +145,26 @@ def main():
         tile_fn = lambda: distances_pallas(pat, lens, pat, lens, "NW",
                                            fetch_pos=False)
     tile_fn()  # compile
-    t0 = time.time()
-    for _ in range(reps):
-        tile_fn()
-    t_tile = (time.time() - t0) / reps
+    t_tile, disp_tile = median_time(tile_fn)
     cells = float(N) * N * np.mean(lens) * np.mean(lens)
     tpu_cells = cells / t_tile
     tpu_pairs = N * N / t_tile
 
-    n_cpu_pairs = 0
-    t0 = time.time()
-    D = native.all_vs_all(fam[:64], band=0.0, nthreads=1)
-    t_cpu_aa = time.time() - t0
-    n_cpu_pairs = (D >= 0).sum()
+    # CPU all-vs-all on a block large enough for a >= 2 s window
+    K = 192  # 18336 pairs x ~230 kcells ~ 4.2 Gcells ~ 0.3 s/iter
+    D = [None]
+
+    def cpu_aa():
+        D[0] = native.all_vs_all(fam[:K], band=0.0, nthreads=1)
+
+    t_cpu_aa, n_aa = cpu_window(cpu_aa)
+    n_cpu_pairs = int((D[0] >= 0).sum()) * n_aa
     cpu_cells = float(n_cpu_pairs) * np.mean(lens) ** 2 / t_cpu_aa
 
     # --- clustering end-to-end: full engine on one 1000-read 2-species
     # bin (the reference's SLURM-array unit of work)
     import random
     from tpu_orc.cluster.engine import AmpliconSorter, SorterConfig
-    from tpu_orc.io.fastq import Record
     random.seed(2)
 
     def mutate(s, k):
@@ -142,18 +182,20 @@ def main():
 
     t1 = "".join(random.choice("ACGT") for _ in range(450))
     t2 = mutate(t1, 60)
-    recs = []
+    srecs = []
     for k, tmpl in enumerate((t1, t2)):
         for i in range(500):
-            recs.append(Record(f"r{k}_{i}", "", mutate(tmpl, 27), None))
-    random.shuffle(recs)
-    AmpliconSorter(SorterConfig(min_length=300, seed=7)).sort_records(
-        recs)  # warm/compile
-    t0 = time.time()
-    sres = AmpliconSorter(SorterConfig(min_length=300,
-                                       seed=7)).sort_records(recs)
-    t_sort = time.time() - t0
-    n_species = sum(len(g) for g in sres.species)
+            srecs.append(Record(f"r{k}_{i}", "", mutate(tmpl, 27), None))
+    random.shuffle(srecs)
+    sres = [None]
+
+    def sort_once():
+        sres[0] = AmpliconSorter(
+            SorterConfig(min_length=300, seed=7)).sort_records(srecs)
+
+    sort_once()  # warm/compile
+    t_sort, disp_sort = median_time(sort_once, reps=3)
+    n_species = sum(len(g) for g in sres[0].species)
 
     # Baseline framing (VERDICT r1 next#9): cpu_* numbers are ONE core
     # running the in-repo C++ oracle with identical semantics (the
@@ -170,15 +212,21 @@ def main():
         "vs_baseline": round(tpu_rps / cpu_rps, 2),
         "details": {
             "backend": jax.default_backend(),
+            "reps": DEVICE_REPS,
+            "demux_dispersion": round(disp_dev, 3),
             "cpu_demux_reads_per_s_1core": round(cpu_rps, 1),
+            "cpu_demux_window_s": round(t_cpu, 2),
             "vs_ref_24core": round(tpu_rps / (cpu_rps * 24), 2),
             "cluster_device_cells_per_s": round(tpu_cells, 0),
             "cluster_device_pairs_per_s": round(tpu_pairs, 1),
+            "cluster_dispersion": round(disp_tile, 3),
             "cluster_cpu_cells_per_s_1core": round(cpu_cells, 0),
+            "cluster_cpu_window_s": round(t_cpu_aa, 2),
             "cluster_vs_cpu": round(tpu_cells / cpu_cells, 2),
             "cluster_vs_ref_12core": round(tpu_cells / (cpu_cells * 12),
                                            2),
             "sort_1000reads_e2e_s": round(t_sort, 2),
+            "sort_dispersion": round(disp_sort, 3),
             "sort_species_found": n_species,
         },
     }

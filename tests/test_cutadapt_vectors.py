@@ -19,25 +19,58 @@ from tpu_orc.io.fastq import Record
 
 FIX = os.path.join(os.path.dirname(__file__), "fixtures",
                    "cutadapt_vectors.json")
+GRID = os.path.join(os.path.dirname(__file__), "fixtures",
+                    "cutadapt_grid.json")
 
 
-def _cases(kind):
-    with open(FIX) as fh:
+def _cases(kind, path=FIX):
+    with open(path) as fh:
         data = json.load(fh)
-    return [pytest.param(c, id=c["name"]) for c in data[kind]]
+    return [pytest.param(c, id=c["name"]) for c in data.get(kind, [])]
 
 
-@pytest.mark.parametrize("case", _cases("cases"))
-def test_cutadapt_vector(case):
+def _run_case(case):
+    from tpu_orc.io import encode
     bank = AdapterBank([n for n, _ in case["adapters"]],
                        [s for _, s in case["adapters"]], case["e"])
     rec = Record("v", "v", case["read"], None)
+    enc = (encode.encode_read_masks_iupac
+           if case.get("read_wildcards") else encode.encode_read_masks)
     (a,) = assign_reads([rec], bank, case["mode"], rc=case["rc"],
-                        min_overlap=case["min_overlap"])
+                        min_overlap=case["min_overlap"], encoder=enc)
     exp = case["expect"]
     assert a.adapter == exp["adapter"], case["name"]
     assert a.rc == exp["rc"], case["name"]
     assert a.trimmed.seq == exp["trimmed"], case["name"]
+
+
+@pytest.mark.parametrize("case", _cases("cases"))
+def test_cutadapt_vector(case):
+    _run_case(case)
+
+
+@pytest.mark.parametrize("case", _cases("cases", GRID))
+def test_cutadapt_grid_vector(case):
+    """Systematic edge grid (fixtures/gen_cutadapt_grid.py): every
+    error-floor boundary at L=10/20/30, min-overlap +-1, file-order and
+    fwd/rc ties, N-wildcard effective lengths, --match-read-wildcards —
+    each expectation derived from the construction and cross-checked by
+    the generator's independent mini reference DP (VERDICT r2 #4)."""
+    _run_case(case)
+
+
+@pytest.mark.parametrize("case", _cases("linked_cases", GRID))
+def test_cutadapt_grid_linked(case):
+    pair = PrimerPair("A", case["fwd"], case["rev"])
+    rec = Record("v", "v", case["read"], None)
+    trimmed, untrimmed = linked_trim([rec], [pair], e=case["e"])
+    exp = case["expect"]
+    if exp["untrimmed"]:
+        assert not trimmed and len(untrimmed) == 1, case["name"]
+        assert untrimmed[0].seq == case["read"]
+    else:
+        assert len(trimmed) == 1 and not untrimmed, case["name"]
+        assert trimmed[0].seq == exp["trimmed"], case["name"]
 
 
 @pytest.mark.parametrize("case", _cases("linked_cases"))

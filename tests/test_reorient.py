@@ -15,8 +15,12 @@ CONFIG = "+:SP5,-SP27|-:SP27,-SP5"
 @pytest.fixture(scope="module")
 def reorienter():
     # insert-recovery tests use keep_primers=False; the default (True,
-    # pychopper -p) is covered by test_keep_primers_preserves_indices
-    return Reorienter(PRIMERS, CONFIG, ReorientConfig(keep_primers=False))
+    # pychopper -p) is covered by test_keep_primers_preserves_indices.
+    # q pinned (0.75 -> budget floor(0.25*58)=14) so single-read unit
+    # tests don't depend on the autotune sample; autotune has its own
+    # test below.
+    return Reorienter(PRIMERS, CONFIG,
+                      ReorientConfig(keep_primers=False, q=0.75))
 
 
 @pytest.fixture(scope="module")
@@ -74,6 +78,10 @@ def test_no_primers_unclass(reorienter, rng):
 
 
 def test_fused_read_rescue(reorienter, profiles, rng):
+    """Pychopper -w semantics (reorient spec rule 7): a FUSED read (2+
+    valid segments) contributes ALL its segments to the rescued file and
+    NONE to pass — pass is reserved for reads classified as a single
+    full-length segment."""
     sp5, sp27 = profiles
     ins1 = "".join(rng.choice(list("ACGT"), size=150))
     ins2 = "".join(rng.choice(list("ACGT"), size=170))
@@ -81,10 +89,11 @@ def test_fused_read_rescue(reorienter, profiles, rng):
     unit2 = concretize(rng, sp5) + ins2 + encode.revcomp(concretize(rng, sp27))
     seq = unit1 + unit2
     res = reorienter.run([Record("fu", "fu", seq, q(len(seq)))])
-    assert res.stats["pass"] == 1
-    assert res.stats["rescued_segments"] == 1
-    assert res.passed[0].seq == ins1
-    assert res.rescued[0].seq == ins2
+    assert res.stats["pass"] == 0
+    assert res.stats["fused_reads"] == 1
+    assert res.stats["rescued_segments"] == 2
+    assert res.rescued[0].seq == ins1
+    assert res.rescued[1].seq == ins2
 
 
 def test_short_segment_binned(reorienter, profiles, rng):
@@ -119,7 +128,7 @@ def test_keep_primers_preserves_indices(profiles):
     c5 = concretize(rng, sp5)
     c27rc = encode.revcomp(concretize(rng, sp27))
     seq = "GGTTGG" + c5 + insert + c27rc + "CCAACC"
-    r = Reorienter(PRIMERS, CONFIG, ReorientConfig())
+    r = Reorienter(PRIMERS, CONFIG, ReorientConfig(q=0.75))
     res = r.run([Record("k1", "k1", seq, "I" * len(seq))])
     assert res.stats["pass"] == 1
     out = res.passed[0].seq
@@ -138,6 +147,115 @@ def test_primers_out_of_order_unclassified(reorienter, profiles, rng):
         + concretize(rng, sp5)
     res = reorienter.run([Record("x", "x", seq, q(len(seq)))])
     assert res.stats["unclass"] == 1 and res.stats["pass"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Adversarial vector corpus (VERDICT r2 #6): expectations derived from
+# the reorient spec rules (module docstring), constructed independently
+# of the implementation — planted primers with KNOWN edit distances
+# against the budget floor((1-q)*58).
+# ---------------------------------------------------------------------------
+
+def test_vector_truncated_primer_rejected(profiles, rng):
+    """SP5 truncated to its last 30 bases: the INFIX scan must align the
+    FULL 58nt primer, so 28 missing bases = 28 edits > budget 14
+    (q=0.75) -> unclassified."""
+    sp5, sp27 = profiles
+    r = Reorienter(PRIMERS, CONFIG,
+                   ReorientConfig(keep_primers=False, q=0.75))
+    insert = "".join(rng.choice(list("ACGT"), size=150))
+    seq = concretize(rng, sp5)[28:] + insert \
+        + encode.revcomp(concretize(rng, sp27))
+    res = r.run([Record("t", "t", seq, q(len(seq)))])
+    assert res.stats["unclass"] == 1 and res.stats["pass"] == 0
+
+
+def test_vector_truncated_primer_within_budget(profiles, rng):
+    """SP5 truncated by 10 bases: 10 edits <= budget 14 -> classified;
+    the emitted insert is exact."""
+    sp5, sp27 = profiles
+    r = Reorienter(PRIMERS, CONFIG,
+                   ReorientConfig(keep_primers=False, q=0.75))
+    insert = "".join(rng.choice(list("ACGT"), size=150))
+    seq = concretize(rng, sp5)[10:] + insert \
+        + encode.revcomp(concretize(rng, sp27))
+    res = r.run([Record("t", "t", seq, q(len(seq)))])
+    assert res.stats["pass"] == 1
+    assert res.passed[0].seq == insert
+
+
+def test_vector_mid_read_adapter_only_unclass(profiles, rng):
+    """A single SP5 in the middle with no SP27 anywhere: no orientation
+    config matches (both require a 5' AND a 3' primer) -> unclass."""
+    sp5, _ = profiles
+    r = Reorienter(PRIMERS, CONFIG,
+                   ReorientConfig(keep_primers=False, q=0.75))
+    left = "".join(rng.choice(list("ACGT"), size=120))
+    right = "".join(rng.choice(list("ACGT"), size=130))
+    seq = left + concretize(rng, sp5) + right
+    res = r.run([Record("m", "m", seq, q(len(seq)))])
+    assert res.stats["unclass"] == 1
+
+
+def test_vector_q_boundary(profiles, rng):
+    """Mean-Q exactly at the threshold passes (>= Q, spec rule 6);
+    one point below fails. Phred '+' = Q10, '*' = Q9."""
+    sp5, sp27 = profiles
+    r = Reorienter(PRIMERS, CONFIG,
+                   ReorientConfig(keep_primers=False, q=0.75, qmin=10.0))
+    insert = "".join(rng.choice(list("ACGT"), size=120))
+    seq = concretize(rng, sp5) + insert \
+        + encode.revcomp(concretize(rng, sp27))
+    at = Record("at", "at", seq, "+" * len(seq))      # mean Q = 10
+    below = Record("below", "below", seq, "*" * len(seq))  # mean Q = 9
+    res = r.run([at, below])
+    assert res.stats["pass"] == 1
+    assert res.stats["low_q"] == 1
+    assert res.passed[0].id == "at"
+
+
+def test_vector_triple_fused(profiles, rng):
+    """Three concatenated full-length units: all three segments rescued,
+    none passed (spec rule 7)."""
+    sp5, sp27 = profiles
+    r = Reorienter(PRIMERS, CONFIG,
+                   ReorientConfig(keep_primers=False, q=0.75))
+    ins = ["".join(rng.choice(list("ACGT"), size=100 + 10 * k))
+           for k in range(3)]
+    units = [concretize(rng, sp5) + i
+             + encode.revcomp(concretize(rng, sp27)) for i in ins]
+    seq = "".join(units)
+    res = r.run([Record("f3", "f3", seq, q(len(seq)))])
+    assert res.stats["pass"] == 0
+    assert res.stats["fused_reads"] == 1
+    assert res.stats["rescued_segments"] == 3
+    assert [s.seq for s in res.rescued] == ins
+
+
+def test_autotune_picks_lenient_q_on_noisy_reads(profiles, rng):
+    """Autotune (spec rule 3): on reads whose primers carry ~8 edits,
+    q=0.95 (budget 2) classifies nothing and q<=0.85 (budget >=8)
+    classifies everything — the tuned q must come back lenient enough
+    to classify the sample."""
+    sp5, sp27 = profiles
+
+    def mutate(s, k):
+        s = list(s)
+        for pos in rng.choice(len(s), k, replace=False):
+            s[int(pos)] = "G" if s[int(pos)] != "G" else "A"
+        return "".join(s)
+
+    recs = []
+    for i in range(20):
+        insert = "".join(rng.choice(list("ACGT"), size=150))
+        seq = (mutate(concretize(rng, sp5), 8) + insert
+               + mutate(encode.revcomp(concretize(rng, sp27)), 8))
+        recs.append(Record(f"n{i}", f"n{i}", seq, q(len(seq))))
+    r = Reorienter(PRIMERS, CONFIG, ReorientConfig(keep_primers=False))
+    res = r.run(recs)
+    assert r.q is not None and r.q <= 0.87
+    assert res.stats["pass"] == 20
+    assert res.stats["autotuned_q_x100"] == int(round(r.q * 100))
 
 
 def test_orientation_vote_both_strands(reorienter, profiles, rng):

@@ -233,7 +233,11 @@ class BankTables:
         A, M = bank_masks.shape
         if M >= RP:
             raise ValueError(f"adapter length {M} >= RP-1 ({RP - 1})")
-        Ap = max(8, -(-A // 8) * 8)
+        # Ap is a pure batch dimension of [Ap, RP, TB] VPU work: pad only
+        # to the 8-sublane minimum, not to a multiple of 8 — a 12-adapter
+        # bank at Ap=16 wastes 25% of every column's vector ops
+        # (measured r3: kernel 451 -> ~350 ms per 8192x512 dual-round).
+        Ap = max(8, A)
         k_table = np.asarray(k_table)
         n_prefix = np.asarray(n_prefix)
         bank_lens = np.asarray(bank_lens)

@@ -305,11 +305,20 @@ def myers_tile_pallas_pairs(tile_i, tile_j, peq_packed, m_lens, texts_T,
     )(tile_i, tile_j, peq_packed, m_lens, texts_T, n_lens)
 
 
+def _put(device):
+    """Array mover: committed device_put when a device is given (per-
+    device multi-chip dispatch), plain asarray otherwise."""
+    if device is None:
+        return jnp.asarray
+    return functools.partial(jax.device_put, device=device)
+
+
 def distances_pallas_pairs(patterns_codes: np.ndarray, m_lens: np.ndarray,
                            texts_codes: np.ndarray, n_lens: np.ndarray,
                            tile_pairs: np.ndarray, mode: str = "NW",
                            TI: int | None = None, TJ: int | None = None,
-                           interpret: bool = False, unroll: bool = True):
+                           interpret: bool = False, unroll: bool = True,
+                           device=None):
     """Host wrapper for the sparse-tile kernel. ``tile_pairs`` is
     [G, 2] int32 of (pattern-tile, text-tile) indices at the (TI, TJ)
     granularity this function selects (returned alongside the result so
@@ -346,9 +355,10 @@ def distances_pallas_pairs(patterns_codes: np.ndarray, m_lens: np.ndarray,
     tj[:G0] = tile_pairs[:, 1]
     ti[G0:] = tile_pairs[-1, 0]
     tj[G0:] = tile_pairs[-1, 1]
-    d, p = myers_tile_pallas_pairs(jnp.asarray(ti), jnp.asarray(tj),
-                                   jnp.asarray(peq), jnp.asarray(m),
-                                   jnp.asarray(tt), jnp.asarray(nl),
+    put = _put(device)
+    d, p = myers_tile_pallas_pairs(put(ti), put(tj),
+                                   put(peq), put(m),
+                                   put(tt), put(nl),
                                    mode, W, TI, TJ, interpret, unroll)
     return d, p
 
@@ -372,7 +382,8 @@ def distances_pallas(patterns_codes: np.ndarray, m_lens: np.ndarray,
                      mode: str = "NW", TI: int | None = None,
                      TJ: int | None = None,
                      interpret: bool = False, unroll: bool = True,
-                     fetch_pos: bool = True):
+                     fetch_pos: bool = True, device=None,
+                     lazy: bool = False):
     """Host wrapper mirroring align.myers.distances_with_pos, padding to
     tile multiples. TI/TJ default to the measured-best tile per word
     count (v5e sweep, BENCH.md): 64x256 for short reads (W<=24, i.e.
@@ -396,8 +407,10 @@ def distances_pallas(patterns_codes: np.ndarray, m_lens: np.ndarray,
     tt[:, :T0] = np.asarray(texts_codes, np.int32).T
     nl = np.ones((1, T), np.int32)
     nl[0, :T0] = np.asarray(n_lens, np.int32)
-    d, p = myers_tile_pallas(jnp.asarray(peq), jnp.asarray(m),
-                             jnp.asarray(tt), jnp.asarray(nl),
+    put = _put(device)
+    d, p = myers_tile_pallas(put(peq), put(m), put(tt), put(nl),
                              mode, W, TI, TJ, interpret, unroll)
+    if lazy:  # padded [P, T] jax arrays, dispatch not yet fetched (the
+        return d, p  # per-device multi-chip path overlaps device work)
     return (np.asarray(d)[:P0, :T0],
             np.asarray(p)[:P0, :T0] if fetch_pos else None)

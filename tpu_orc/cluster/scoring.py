@@ -87,6 +87,10 @@ class DeviceScorer:
             d, _ = distances_pallas(pat, plens, txt, tlens, "NW",
                                     fetch_pos=False)
             return d
+        if self.backend == "mesh":
+            from ..dist.sharded import device_parallel_pairwise
+            return device_parallel_pairwise(
+                list(self.mesh.devices.flat), pat, plens, txt, tlens)
         return myers.distances(pat, plens, txt, tlens, "NW")
 
     # -- all-vs-all within a block (gene stage) ---------------------------
@@ -137,15 +141,17 @@ class DeviceScorer:
                                           pairs, "NW", TI=TI, TJ=TJ)
             D = np.asarray(d)      # one fetch (pos stays on device)
         elif self.backend == "mesh":
-            # pattern stripes over the mesh, texts replicated; the
-            # all-gathered D is bit-identical to the single-device XLA
-            # path (same myers_tile core)
-            from ..dist.sharded import sharded_pairwise_step
-            ndev = int(self.mesh.devices.size)
-            P = -(-NB // ndev) * ndev
-            pp, ll = _pad_rows(packed, lens, P)
-            D = np.asarray(sharded_pairwise_step(self.mesh, pp, ll,
-                                                 texts, tlens))
+            # pattern stripes dispatched per device, each stripe running
+            # the single-chip production kernel (Pallas on TPU, XLA on
+            # the CPU test mesh — bit-identical); host gathers for the
+            # union-find (VERDICT r2 next#1)
+            from ..dist.sharded import device_parallel_pairwise
+            gfull = np.zeros((NB, texts.shape[0]), bool)
+            gfull[:n, :n] = gate
+            gfull[:n, NB:NB + n] = gate
+            D = device_parallel_pairwise(
+                list(self.mesh.devices.flat), packed, lens, texts,
+                tlens, "NW", gate=gfull)
         else:  # XLA scan path (CPU/virtual-mesh tests), dense block
             D = np.asarray(myers.distances(packed, lens, texts, tlens,
                                            "NW"))
@@ -273,11 +279,3 @@ def _count_cap(n: int, caps=(8, 16, 32, 64, 128, 256, 512, 1024)) -> int:
     return -(-n // 1024) * 1024
 
 
-def _pad_rows(arr: np.ndarray, lens: np.ndarray, rows: int):
-    if arr.shape[0] == rows:
-        return arr, lens
-    out = np.full((rows, arr.shape[1]), 4, dtype=arr.dtype)
-    out[:arr.shape[0]] = arr
-    l2 = np.ones(rows, dtype=np.int32)
-    l2[:len(lens)] = lens
-    return out, l2

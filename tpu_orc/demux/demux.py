@@ -69,8 +69,11 @@ def _best_per_read(res):
 
 
 def _bucket_pad(n: int) -> int:
-    """Pad length to a small set of bucket caps to bound jit recompiles."""
-    for cap in (128, 256, 512, 1024, 2048, 4096, 8192):
+    """Pad length to a small set of bucket caps to bound jit recompiles
+    (finer steps in the amplicon range — the locate kernels scan O(L)
+    columns, so a tighter pad is a direct win)."""
+    for cap in (128, 256, 384, 512, 640, 768, 1024, 1536, 2048, 4096,
+                8192):
         if n <= cap:
             return cap
     return encode.pad_to(n, 8192)
@@ -271,39 +274,156 @@ def materialize_decision(rec: Record, sp5_names, sp27_names, idx1: int,
     return (sp5_name, trimmed1, sp27_names[idx2], final)
 
 
+def materialize_batch(records: Sequence[Record], sp5_names, sp27_names,
+                      idx1, rc1, qe1, idx2, rc2, qs2) -> List[tuple]:
+    """Vectorized host realization of a batch of dual-round decisions —
+    numpy equivalent of calling ``materialize_decision`` per read (parity
+    asserted by tests/test_fused.py). Per-read Python is reduced to
+    Record construction; all trimming/rc/reversal runs as [B, L] gathers
+    (the per-read string slicing was ~0.2 s per 8192-read batch,
+    BENCH.md debt).
+
+    Returns per read: (sp5_name|None, trimmed1 Record, sp27_name|None,
+    final Record).
+    """
+    idx1 = np.asarray(idx1)
+    rc1 = np.asarray(rc1).astype(bool) & (idx1 >= 0)
+    qe1 = np.where(idx1 >= 0, np.asarray(qe1), 0)
+    idx2 = np.asarray(idx2)
+    rc2 = np.asarray(rc2).astype(bool) & (idx2 >= 0)
+    qs2 = np.maximum(np.asarray(qs2), 0)
+
+    seqs = [r.seq for r in records]
+    amat, lens = encode.ascii_matrix(seqs)
+    quals = [r.qual for r in records]
+    have_q = all(q is not None for q in quals)
+    if have_q:
+        qmat, _ = encode.ascii_matrix(quals)
+
+    # Composed index maps — ONE gather per output matrix instead of a
+    # revcomp/shift gather chain. trimmed1[j] = comp^rc1(seq[src1]),
+    # final[j] = comp^(rc1^rc2)(seq[src2]):
+    #   round 1: j -> oriented k = j + qe1 -> source rc1 ? lens-1-k : k
+    #   round 2: j -> t1 index a = rc2 ? len1-1-j : j, then round-1 map.
+    B, L = amat.shape
+    rows = np.arange(B)[:, None]
+    j = np.arange(L)[None, :]
+    len1 = lens - qe1
+    flen = np.where(idx2 >= 0, np.minimum(qs2, len1), len1)
+    last = (lens - 1)[:, None]
+    k1 = j + qe1[:, None]
+    src1 = np.where(rc1[:, None], last - k1, k1)
+    np.clip(src1, 0, L - 1, out=src1)
+    a = np.where(rc2[:, None], (len1 - 1)[:, None] - j, j)
+    k2 = a + qe1[:, None]
+    src2 = np.where(rc1[:, None], last - k2, k2)
+    np.clip(src2, 0, L - 1, out=src2)
+    v1 = j < len1[:, None]
+    v2 = j < flen[:, None]
+    comp = encode._COMP_TAB
+    t1 = amat[rows, src1]
+    t1 = np.where(v1, np.where(rc1[:, None], comp[t1], t1), np.uint8(0))
+    fin = amat[rows, src2]
+    cboth = (rc1 ^ rc2)[:, None]
+    fin = np.where(v2, np.where(cboth, comp[fin], fin), np.uint8(0))
+    if have_q:
+        q1 = np.where(v1, qmat[rows, src1], np.uint8(0))
+        q2 = np.where(v2, qmat[rows, src2], np.uint8(0))
+
+    t1b = t1.tobytes()
+    s2b = fin.tobytes()
+    if have_q:
+        q1b = q1.tobytes()
+        q2b = q2.tobytes()
+    out: List[tuple] = []
+    for i, rec in enumerate(records):
+        if idx1[i] < 0:
+            out.append((None, rec, None, rec))
+            continue
+        desc = rec.desc + " rc" if rc1[i] else rec.desc
+        rid = desc.split()[0] if desc else ""
+        o = i * L
+        n1 = int(len1[i])
+        trimmed1 = Record(rid, desc, t1b[o:o + n1].decode("ascii"),
+                          q1b[o:o + n1].decode("ascii")
+                          if have_q and rec.qual
+                          else (rec.qual[::-1][int(qe1[i]):] if rc1[i]
+                                else rec.qual[int(qe1[i]):])
+                          if rec.qual else None)
+        sp5_name = sp5_names[idx1[i]]
+        if idx2[i] < 0:
+            out.append((sp5_name, trimmed1, None, trimmed1))
+            continue
+        desc2 = desc + " rc" if rc2[i] else desc
+        rid2 = desc2.split()[0] if desc2 else ""
+        nf = int(flen[i])
+        # per-read parity quirk: an empty trimmed1.qual ('') is falsy,
+        # so materialize_decision emits None for the final qual
+        fqual = (q2b[o:o + nf].decode("ascii")
+                 if have_q and trimmed1.qual
+                 else ((trimmed1.qual[::-1] if rc2[i]
+                        else trimmed1.qual)[:nf]
+                       if trimmed1.qual else None))
+        final = Record(rid2, desc2, s2b[o:o + nf].decode("ascii"), fqual)
+        out.append((sp5_name, trimmed1, sp27_names[idx2[i]], final))
+    return out
+
+
 def _decisions_sharded(records: Sequence[Record], sp5: AdapterBank,
                        sp27rc: AdapterBank, mesh) -> List[tuple]:
     """Mesh data-parallel decisions via dist.sharded_dual_demux_step:
     reads shard over the 'data' axis, banks replicate per chip
     (SURVEY.md §2.4 mapping). Decision semantics are identical to the
     single-device paths (same locate core + selection rules)."""
+    import jax
     from ..dist.sharded import sharded_dual_demux_step
     out: List[tuple] = []
     ndata = mesh.shape["data"]  # reads shard over 'data' only
-    CH = 4096
+    on_accel = jax.default_backend() not in ("cpu",)
+    CH = 4096 * mesh.devices.size if on_accel else 4096
     for s in range(0, len(records), CH):
         chunk = records[s:s + CH]
-        seqs = [r.seq.upper() for r in chunk]
-        L = _bucket_pad(max((len(x) for x in seqs), default=1))
-        masks, lens = encode.pack_batch(
-            seqs, max_len=L, pad_multiple=1,
-            encoder=encode.encode_read_masks, pad_value=0)
-        B0 = masks.shape[0]
-        B = -(-B0 // ndata) * ndata
-        if B != B0:
-            masks = np.concatenate(
-                [masks, np.zeros((B - B0, L), masks.dtype)])
-            lens = np.concatenate([lens, np.ones(B - B0, lens.dtype)])
-        i1, rc1, qe1, i2, rc2, qs2, e1, e2, _, _ = (
-            np.asarray(v) for v in sharded_dual_demux_step(
-                mesh, sp5, sp27rc, masks, lens))
-        for i, rec in enumerate(chunk):
-            dec = materialize_decision(
-                rec, sp5.names, sp27rc.names, int(i1[i]), bool(rc1[i]),
-                int(qe1[i]), int(i2[i]), bool(rc2[i]), int(qs2[i]))
-            out.append(dec + (bool(rc1[i]), int(e1[i]),
-                              bool(rc2[i]), int(e2[i])))
+        L = _bucket_pad(max((len(r.seq) for r in chunk), default=1))
+        amat, lens = encode.ascii_matrix([r.seq for r in chunk],
+                                         max_len=L)
+        if on_accel and _use_fused(sp5, sp27rc):
+            # production multi-chip path: fused Pallas program striped
+            # per device (VERDICT r2 next#1), decisions identical to
+            # the shard_map XLA path (same spec, parity-tested)
+            from .fused import FusedDemux
+            fd = _decisions_sharded.fd_cache.get(id(sp5))
+            if fd is None:
+                fd = FusedDemux(sp5, sp27rc)
+                _decisions_sharded.fd_cache[id(sp5)] = fd
+            d = fd.decide_multi(encode.read_masks_matrix(amat, lens),
+                                lens, list(mesh.devices.flat))
+            i1, rc1, qe1 = d.idx1, d.rc1, d.qe1
+            i2, rc2, qs2, e1, e2 = d.idx2, d.rc2, d.qs2, d.err1, d.err2
+        else:
+            masks = encode.read_masks_matrix(amat, lens)
+            B0 = masks.shape[0]
+            B = -(-B0 // ndata) * ndata
+            if B != B0:
+                masks = np.concatenate(
+                    [masks, np.zeros((B - B0, L), masks.dtype)])
+                lens2 = np.concatenate(
+                    [lens, np.ones(B - B0, lens.dtype)])
+            else:
+                lens2 = lens
+            i1, rc1, qe1, i2, rc2, qs2, e1, e2, _, _ = (
+                np.asarray(v)[:B0] for v in sharded_dual_demux_step(
+                    mesh, sp5, sp27rc, masks, lens2))
+        mat = materialize_batch(chunk, sp5.names, sp27rc.names,
+                                i1, rc1, qe1, i2, rc2, qs2)
+        for i, dec in enumerate(mat):
+            out.append(dec + (bool(rc1[i]) and int(i1[i]) >= 0,
+                              int(e1[i]),
+                              bool(rc2[i]) and int(i2[i]) >= 0,
+                              int(e2[i])))
     return out
+
+
+_decisions_sharded.fd_cache = {}
 
 
 def dual_round_demux(records: Sequence[Record], sp5: AdapterBank,
@@ -328,7 +448,11 @@ def dual_round_demux(records: Sequence[Record], sp5: AdapterBank,
         dec = _decisions_sharded(records, sp5, sp27rc, mesh)
     elif _use_fused(sp5, sp27rc):
         from .fused import FusedDemux
-        fb = max(batch_size, 2048)  # fused path wants large device batches
+        # 2048-read chunks pipeline best: assign dispatches every chunk
+        # before fetching any, so host pack/materialize for chunk k
+        # overlaps device compute for k+1 (measured r3: 535 ms vs
+        # 1098 ms for one monolithic 8192 batch)
+        fb = min(max(batch_size, 2048), 2048)
         dec = [t[1:] for t in FusedDemux(sp5, sp27rc).assign(
             records, batch_size=fb)]
     else:

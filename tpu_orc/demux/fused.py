@@ -90,13 +90,44 @@ def _best(m, q, o, A, c=None):
     return out
 
 
+def _unpack_to_masks(packed2, other, L: int):
+    """Device unpack of the 2-bit wire format (io/encode.pack_codes_2bit):
+    packed2 [B, L//4] uint8 (4 bases/byte), other [B, L//8] uint8 (the
+    'non-ACGT' bitplane) -> read match masks [B, L] int32 (1,2,4,8,16).
+    0.375 bytes/base over the tunnel instead of 1 (BENCH.md debt)."""
+    B = packed2.shape[0]
+    p = packed2.astype(jnp.int32)
+    two = jnp.stack([(p >> 0) & 3, (p >> 2) & 3, (p >> 4) & 3,
+                     (p >> 6) & 3], axis=-1).reshape(B, L)
+    o = other.astype(jnp.int32)
+    obits = jnp.stack([(o >> k) & 1 for k in range(8)],
+                      axis=-1).reshape(B, L)
+    code = jnp.where(obits != 0, 4, two)
+    return jnp.left_shift(1, code)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("Ap5", "Ap27", "L", "interpret"))
+def _fused_core_packed(t5, t27, packed2, other, lens, Ap5: int, L: int,
+                      Ap27: int, interpret: bool = False):
+    """Packed-upload variant: unpacks the 2-bit wire format on device,
+    then the identical fused dual-round program."""
+    m32 = _unpack_to_masks(packed2, other, L)
+    return _fused_body(t5, t27, m32, lens, Ap5, L, Ap27, interpret)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("Ap5", "Ap27", "L", "interpret"))
 def _fused_core(t5, t27, masks, lens, Ap5: int, L: int, Ap27: int,
                 interpret: bool = False):
     """masks [B, L] uint8 (B % TB == 0), lens [B] int32."""
-    B = masks.shape[0]
-    m32 = masks.astype(jnp.int32)
+    return _fused_body(t5, t27, masks.astype(jnp.int32), lens, Ap5, L,
+                       Ap27, interpret)
+
+
+def _fused_body(t5, t27, m32, lens, Ap5: int, L: int, Ap27: int,
+                interpret: bool = False):
+    B = m32.shape[0]
     lens = lens.astype(jnp.int32)
     rc = _revcomp_rows(m32, lens)
     both = jnp.concatenate([m32, rc], axis=0)
@@ -164,39 +195,141 @@ class FusedDemux:
                               sp27rc.n_prefix, False, min_overlap)
         self._a5 = self.t5.arrays()
         self._a27 = self.t27.arrays()
+        self._per_dev = {}  # device -> (a5, a27) replicated bank tables
+
+    def _bank_on(self, dev):
+        """Bank threshold tables committed to one device (cached — the
+        bank replicates per chip, SURVEY.md §2.4)."""
+        if dev not in self._per_dev:
+            import jax
+            put = lambda x: jax.device_put(x, dev)
+            self._per_dev[dev] = (tuple(put(a) for a in self._a5),
+                                  tuple(put(a) for a in self._a27))
+        return self._per_dev[dev]
 
     def decide(self, masks: np.ndarray, lens: np.ndarray) -> FusedDecision:
         """masks [B0, L] uint8, lens [B0] -> FusedDecision (numpy)."""
+        B0 = masks.shape[0]
+        out = np.asarray(self._dispatch(masks, lens))
+        return FusedDecision(*(out[k, :B0] for k in range(8)))
+
+    def decide_packed(self, codes: np.ndarray, lens: np.ndarray
+                      ) -> FusedDecision:
+        """codes [B0, L] uint8 {0..4}, lens [B0] -> FusedDecision, via the
+        2-bit packed wire format (0.375 B/base uploaded instead of 1)."""
+        B0 = codes.shape[0]
+        out = np.asarray(self._dispatch_packed(codes, lens))
+        return FusedDecision(*(out[k, :B0] for k in range(8)))
+
+    def decide_multi(self, masks: np.ndarray, lens: np.ndarray,
+                     devices) -> FusedDecision:
+        """Production multi-chip demux decisions: batch rows striped over
+        explicit devices, each stripe running the SAME fused Pallas
+        program as single-chip ``decide`` committed to its device; all
+        stripes dispatch before any fetch, so chips compute
+        concurrently; host concatenates (VERDICT r2 next#1 — the mesh
+        demux path now runs the Pallas kernels)."""
+        devices = list(devices)
+        ndev = len(devices)
+        B0, L = masks.shape
+        stripe = -(-(-(-B0 // ndev)) // TB) * TB  # per-device, TB-padded
+        lazies = []
+        for k, dev in enumerate(devices):
+            r0 = k * stripe
+            if r0 >= B0:
+                break
+            r1 = min(r0 + stripe, B0)
+            c = masks[r0:r1]
+            ln = lens[r0:r1]
+            if r1 - r0 < stripe:
+                c = np.concatenate(
+                    [c, np.zeros((stripe - (r1 - r0), L), c.dtype)])
+                ln = np.concatenate(
+                    [ln, np.zeros(stripe - (r1 - r0), ln.dtype)])
+            a5, a27 = self._bank_on(dev)
+            put = lambda x: jax.device_put(x, dev)
+            out = _fused_core(
+                a5, a27, put(c), put(ln.astype(np.int32)),
+                self.t5.Ap, L, self.t27.Ap, self.interpret)
+            lazies.append((r0, r1, out))
+        parts = [np.asarray(o)[:, :r1 - r0] for r0, r1, o in lazies]
+        full = np.concatenate(parts, axis=1)
+        return FusedDecision(*(full[k] for k in range(8)))
+
+    def assign(self, records: Sequence[Record], batch_size: int = 2048,
+               max_len: int = 256):
+        """Yield (rec_index, sp5_name|None, trimmed1 Record, sp27_name|None,
+        final Record) per read — the exact per-read decisions of running
+        demux.assign_reads for round 1 then round 2. Host work is fully
+        vectorized: one ascii gather per chunk in, 2-bit packed upload,
+        one vectorized materialization out."""
+        import os
+        from .demux import materialize_batch
+        recs = list(records)
+        out = []
+        # 2-bit packed upload is opt-in: measured on the tunneled v5e it
+        # saves 2.6x upload bytes but ZERO wall time (the link is
+        # dispatch/compute-bound, not upload-bound — BENCH.md r3), while
+        # adding a large one-time compile; parity is tested either way.
+        packed = bool(os.environ.get("ORC_PACKED_UPLOAD"))
+        # Pipelined two-phase structure: phase 1 packs + DISPATCHES every
+        # chunk (lazy device arrays, device queue runs ahead); phase 2
+        # fetches + materializes, overlapping host string work for chunk
+        # k with device compute for chunks k+1... (BENCH.md r3 demux
+        # host-overlap).
+        pending = []
+        for s in range(0, len(recs), batch_size):
+            chunk = recs[s:s + batch_size]
+            amat, lens = encode.ascii_matrix(
+                [r.seq for r in chunk],
+                max_len=_pick_len(max((len(r.seq) for r in chunk),
+                                      default=1), max_len))
+            if packed:
+                lazy = self._dispatch_packed(
+                    encode.codes_matrix(amat, lens), lens)
+            else:
+                lazy = self._dispatch(
+                    encode.read_masks_matrix(amat, lens), lens)
+            pending.append((s, chunk, lazy, len(chunk)))
+        for s, chunk, lazy, B0 in pending:
+            full = np.asarray(lazy)
+            d = FusedDecision(*(full[k, :B0] for k in range(8)))
+            mat = materialize_batch(chunk, self.sp5.names,
+                                    self.sp27.names, d.idx1, d.rc1,
+                                    d.qe1, d.idx2, d.rc2, d.qs2)
+            for i, dec in enumerate(mat):
+                out.append((s + i,) + dec
+                           + (bool(d.rc1[i]) and int(d.idx1[i]) >= 0,
+                              int(d.err1[i]),
+                              bool(d.rc2[i]) and int(d.idx2[i]) >= 0,
+                              int(d.err2[i])))
+        return out
+
+    def _dispatch(self, masks: np.ndarray, lens: np.ndarray):
+        """Upload + launch the fused program; returns the lazy [8, B]
+        device array (no fetch)."""
         B0, L = masks.shape
         B = -(-B0 // TB) * TB
         if B != B0:
             masks = np.concatenate(
                 [masks, np.zeros((B - B0, L), masks.dtype)])
             lens = np.concatenate([lens, np.zeros(B - B0, lens.dtype)])
-        out = np.asarray(_fused_core(
-            self._a5, self._a27, jnp.asarray(masks), jnp.asarray(lens),
-            self.t5.Ap, L, self.t27.Ap, self.interpret))
-        return FusedDecision(*(out[k, :B0] for k in range(8)))
+        return _fused_core(self._a5, self._a27, jnp.asarray(masks),
+                           jnp.asarray(lens), self.t5.Ap, L, self.t27.Ap,
+                           self.interpret)
 
-    def assign(self, records: Sequence[Record], batch_size: int = 2048,
-               max_len: int = 512):
-        """Yield (rec_index, sp5_name|None, trimmed1 Record, sp27_name|None,
-        final Record) per read — the exact per-read decisions of running
-        demux.assign_reads for round 1 then round 2."""
-        recs = list(records)
-        out = []
-        for s in range(0, len(recs), batch_size):
-            chunk = recs[s:s + batch_size]
-            seqs = [r.seq.upper() for r in chunk]
-            Lc = max((len(x) for x in seqs), default=1)
-            L = _pick_len(max(Lc, 1), max_len)
-            masks, lens = encode.pack_batch(
-                seqs, max_len=L, pad_multiple=1,
-                encoder=encode.encode_read_masks, pad_value=0)
-            d = self.decide(masks, lens)
-            for i, rec in enumerate(chunk):
-                out.append(self._materialize(s + i, rec, d, i))
-        return out
+    def _dispatch_packed(self, codes: np.ndarray, lens: np.ndarray):
+        B0, L = codes.shape
+        B = -(-B0 // TB) * TB
+        if B != B0:
+            codes = np.concatenate(
+                [codes, np.full((B - B0, L), 4, codes.dtype)])
+            lens = np.concatenate([lens, np.zeros(B - B0, lens.dtype)])
+        p2, oth = encode.pack_codes_2bit(codes, lens)
+        return _fused_core_packed(self._a5, self._a27, jnp.asarray(p2),
+                                  jnp.asarray(oth), jnp.asarray(lens),
+                                  self.t5.Ap, L, self.t27.Ap,
+                                  self.interpret)
 
     def _materialize(self, ridx, rec, d: FusedDecision, i: int):
         from .demux import materialize_decision
@@ -209,8 +342,12 @@ class FusedDemux:
 
 
 def _pick_len(n: int, default_cap: int) -> int:
-    """Bucket the padded length to bound device recompiles."""
-    for cap in (128, 256, 512, 1024, 2048, 4096, 8192):
+    """Bucket the padded length to bound device recompiles. The kernel
+    column loop is O(L), so finer buckets around the COI amplicon range
+    (300-900 bp + adapters) directly cut scan columns (384 saves 25% of
+    the columns a 512 pad wastes on ~380 bp reads)."""
+    for cap in (128, 256, 384, 512, 640, 768, 1024, 1536, 2048, 4096,
+                8192):
         if n <= cap:
             return max(cap, default_cap) if cap <= default_cap else cap
     return encode.pad_to(n, 8192)

@@ -3,29 +3,51 @@
 Replaces /root/reference/scripts/01_pychopper.sh:45-57:
     pychopper -b M13_seqs_for_pychopper.fa -c M13_config_for_pychopper.txt
               -k LSK114 -Q 10 -m edlib -p -t 24
-with outputs pass / rescued / unclass / short + stats.
+with outputs pass / rescued (-w) / unclass (-u) / short (-l) + stats (-S).
 
-Behavior implemented:
-  * primer profiles from the -b FASTA (SP5/SP27 with N17 variable segments,
-    adapters_primers/M13_seqs_for_pychopper.fa:1-4); N wildcards match any
-    base and are excluded from the error budget;
-  * orientation configs parsed from the -c file format
-    ``+:SP5,-SP27|-:SP27,-SP5`` (M13_config_for_pychopper.txt:1): a valid
-    + read carries SP5 then revcomp(SP27); a valid - read the mirror, and
-    is reverse-complemented to + on output;
-  * mean-Q >= Q filter (reads below go to unclass);
-  * primer-to-primer trimming (-p): output = segment between the two
-    primer hits, + oriented;
-  * fused-read rescue (-w): after a valid segment is cut, the remainder of
-    the read is re-scanned (up to ``max_segments``); extra segments go to
-    the rescued bin;
-  * segments shorter than ``min_len`` go to the short bin.
+REORIENT SPEC — pychopper v2 edlib-backend semantics, derived rule by
+rule (VERDICT r2 #6; each rule's provenance noted):
+
+1. **Primer hits** (edlib backend, `-m edlib`): every primer from the -b
+   FASTA and its reverse complement ('-NAME') is aligned against the
+   read in edlib HW mode — full primer, free read prefix/suffix (our
+   INFIX flags). N wildcards in the primer match any read base
+   (edlib ``additionalEqualities``); the N17 variable segments of
+   SP5/SP27 (M13_seqs_for_pychopper.fa:1-4) therefore match freely.
+2. **Per-primer acceptance** (edlib ``k``): a hit is kept iff its edit
+   distance <= floor((1 - q) * len(primer)) over the FULL primer length
+   (pychopper passes k to edlib on the raw primer length; unlike
+   cutadapt it does NOT exclude N positions from the budget).
+3. **Cutoff autotune** (pychopper's `-q` default): when ``q`` is not
+   given, pychopper tunes it on a read subsample, picking the cutoff
+   that maximizes the classified fraction. We scan q in
+   {0.95, 0.90, ..., 0.55} over ``autotune_sample`` reads and keep the
+   best (ties -> stricter/higher q). 01_pychopper.sh passes no -q, so
+   autotune is the production path.
+4. **Orientation configs** (`-c`, M13_config_for_pychopper.txt:1):
+   ``+:SP5,-SP27|-:SP27,-SP5`` — a '+' segment starts with an SP5 hit
+   and ends with a revcomp-SP27 hit; a '-' segment the mirror image and
+   is reverse-complemented to '+' on output.
+5. **Trimming** (`-p` = keep primers): the emitted segment spans
+   [start-primer.querystart, end-primer.querystop] — primers kept, read
+   ends outside them trimmed. (Without -p pychopper trims to the
+   insert; the pipeline needs the M13 indices intact for stage 02.)
+6. **Mean-Q filter** (`-Q 10`): reads whose mean base quality is below
+   Q go to unclass (pychopper filters before classification).
+7. **Rescue** (`-w`): a read with exactly ONE valid segment -> pass;
+   a FUSED read (2+ valid segments after iterative re-scan of the
+   remainder) contributes ALL its segments to the rescued file, none to
+   pass. Segments shorter than `-z` (min_len, default 50) -> short.
+
+Known deviations (documented, not hidden): pychopper enumerates ALL hit
+locations per primer and interval-schedules them in one pass; we take
+the best hit per primer and iterate on the remainder (cap
+``max_segments``), which classifies the same reads for non-pathological
+layouts. Autotune grid/sample sizes are ours; pychopper's exact grid is
+an implementation detail of its tuner.
 
 Primer hits are scored on device with the batched locate kernel in INFIX
-mode (full primer aligned, free read prefix/suffix) — pychopper's edlib
-(HW) backend semantics. The hit threshold is errors <= max_error_rate *
-effective primer length (Ns excluded), default 0.25 mirroring pychopper's
-lenient per-primer cutoff.
+mode; on TPU the Pallas locate kernel serves the scan.
 """
 from __future__ import annotations
 
@@ -46,16 +68,32 @@ INFIX = Flag.START_WITHIN_SEQ2 | Flag.STOP_WITHIN_SEQ2
 
 @dataclass
 class ReorientConfig:
-    qmin: float = 10.0            # -Q
-    max_error_rate: float = 0.25  # per-primer hit threshold (edlib backend)
+    qmin: float = 10.0            # -Q mean base quality filter
+    # -q alignment cutoff: per-primer edit budget floor((1-q)*len) over
+    # the FULL primer length (spec rule 2). None = autotune (rule 3),
+    # pychopper's default when -q is not passed (01_pychopper.sh passes
+    # none).
+    q: Optional[float] = None
     min_len: int = 50             # -z minimum segment length
     max_segments: int = 4         # fused-read rescue bound
     min_primer_overlap: int = 3
+    autotune_sample: int = 500    # reads used to tune q (rule 3)
     # pychopper -p "keep primers, trim the rest" (01_pychopper.sh:54):
     # the segment spans [primer5.start, primer3.end] so the dual-index
     # adapters survive for stage-02 demultiplexing. False trims to the
     # insert between the primers.
     keep_primers: bool = True
+
+    # legacy alias (pre-r3 callers passed max_error_rate = 1 - q)
+    max_error_rate: Optional[float] = None
+
+    def __post_init__(self):
+        if self.max_error_rate is not None and self.q is None:
+            self.q = 1.0 - self.max_error_rate
+
+
+AUTOTUNE_GRID = tuple(round(0.95 - 0.05 * k, 2) for k in range(9))
+# (0.95, 0.90, ..., 0.55)
 
 
 @dataclass
@@ -76,14 +114,22 @@ def parse_orientation_config(text: str) -> List[Tuple[str, List[str]]]:
     return out
 
 
-def build_primer_bank(primer_fasta: str, e: float) -> Tuple[AdapterBank, List[str]]:
-    """Bank of each primer and its reverse complement ('-NAME')."""
+def build_primer_bank(primer_fasta: str, q: float
+                      ) -> Tuple[AdapterBank, List[str]]:
+    """Bank of each primer and its reverse complement ('-NAME'), with
+    the pychopper edlib budget: max edit distance floor((1-q) * len)
+    over the FULL primer length, Ns included (spec rule 2 — pychopper
+    passes k to edlib on the raw length; cutadapt-style N exclusion
+    does NOT apply here)."""
     from ..io.fastq import read_fasta
     pairs = []
     for rec in read_fasta(primer_fasta):
         pairs.append((rec.id, rec.seq.upper()))
         pairs.append(("-" + rec.id, encode.revcomp(rec.seq.upper())))
-    bank = AdapterBank.from_pairs(pairs, e)
+    bank = AdapterBank.from_pairs(pairs, 1.0 - q)
+    k = np.floor((1.0 - q) * bank.lens.astype(np.float64)).astype(
+        np.int32)
+    bank.k_table[:] = k[:, None]  # constant per primer, full-length key
     return bank, [p[0] for p in pairs]
 
 
@@ -91,29 +137,85 @@ class Reorienter:
     def __init__(self, primer_fasta: str, config_text: str,
                  cfg: ReorientConfig = ReorientConfig()):
         self.cfg = cfg
-        self.bank, self.names = build_primer_bank(primer_fasta,
-                                                  cfg.max_error_rate)
+        self.primer_fasta = primer_fasta
+        self.q = cfg.q  # None until autotuned (spec rule 3)
+        self._banks: Dict[float, Tuple[AdapterBank, List[str]]] = {}
         self.configs = parse_orientation_config(config_text)
-        self.name_idx = {n: i for i, n in enumerate(self.names)}
+        bank, names = self._bank_for(self.q if self.q is not None
+                                     else AUTOTUNE_GRID[0])
+        self.names = names
+        self.name_idx = {n: i for i, n in enumerate(names)}
+
+    def _bank_for(self, q: float):
+        if q not in self._banks:
+            self._banks[q] = build_primer_bank(self.primer_fasta, q)
+        return self._banks[q]
+
+    @property
+    def bank(self) -> AdapterBank:
+        q = self.q if self.q is not None else AUTOTUNE_GRID[0]
+        return self._bank_for(q)[0]
 
     # ------------------------------------------------------------------
-    def _locate_all(self, seqs: Sequence[str]):
+    def autotune(self, records: Sequence[Record]) -> float:
+        """Spec rule 3 tuner. ONE device scan at the most lenient grid
+        budget collects every primer's best-hit error count; each grid q
+        is then evaluated on host by re-thresholding those errors. The
+        pick is the STRICTEST q whose classified count is within 5% of
+        the grid maximum — classified count grows monotonically as q
+        loosens (junk reads eventually "classify"), so a bare argmax
+        would always return the loosest cutoff; the knee rule prefers
+        specificity once sensitivity plateaus. (Pychopper's tuner is an
+        implementation detail we cannot reproduce offline; this rule is
+        ours and documented as such.)"""
+        sample = [r.seq.upper() for r in
+                  list(records)[:self.cfg.autotune_sample]]
+        if not sample:
+            return AUTOTUNE_GRID[len(AUTOTUNE_GRID) // 2]
+        hits = self._locate_all(sample, AUTOTUNE_GRID[-1])  # lenient
+        bank, _ = self._bank_for(AUTOTUNE_GRID[-1])
+        lens = bank.lens.astype(np.float64)
+        counts = []
+        for q in AUTOTUNE_GRID:  # descending (strict -> lenient)
+            budget = np.floor((1.0 - q) * lens).astype(np.int64)
+            n = 0
+            for b in range(len(sample)):
+                if self._classify(sample[b], hits, b,
+                                  budget=budget) is not None:
+                    n += 1
+            counts.append(n)
+        mx = max(counts)
+        for q, n in zip(AUTOTUNE_GRID, counts):  # strictest first
+            if n >= 0.95 * mx:
+                return q
+        return AUTOTUNE_GRID[-1]
+
+    def _locate_all(self, seqs: Sequence[str], q: Optional[float] = None):
         """Best infix hit of every primer/strand in every sequence."""
-        res = locate_batch(self.bank, list(seqs), INFIX,
+        bank, _ = self._bank_for(q if q is not None else self.q)
+        res = locate_batch(bank, list(seqs), INFIX,
                            self.cfg.min_primer_overlap)
         return {k: np.asarray(v) for k, v in res._asdict().items()}
 
-    def _classify(self, seq: str, hits, b: int) -> Optional[Tuple[str, int, int]]:
+    def _classify(self, seq: str, hits, b: int,
+                  budget: Optional[np.ndarray] = None
+                  ) -> Optional[Tuple[str, int, int]]:
         """Match hit layout against the orientation configs.
 
         Returns (sign, seg_start, seg_end) on the *input* sequence
-        coordinates, where the segment excludes both primers."""
+        coordinates, where the segment excludes both primers.
+        ``budget``: optional per-primer error caps re-thresholding
+        lenient-scan hits (the autotune path)."""
         for sign, segs in self.configs:
             if len(segs) != 2:
                 continue
             i5 = self.name_idx[segs[0]]
             i3 = self.name_idx[segs[1]]
             if not (hits["valid"][b, i5] and hits["valid"][b, i3]):
+                continue
+            if budget is not None and (
+                    hits["errors"][b, i5] > budget[i5]
+                    or hits["errors"][b, i3] > budget[i3]):
                 continue
             end5 = int(hits["querystop"][b, i5])
             start3 = int(hits["querystart"][b, i3])
@@ -130,29 +232,38 @@ class Reorienter:
         cfg = self.cfg
         out = ReorientResult()
         stats = {"total": 0, "pass": 0, "rescued_segments": 0,
-                 "unclass": 0, "short": 0, "low_q": 0}
-        for start in range(0, len(records), batch_size):
-            chunk = records[start:start + batch_size]
-            q_ok = [r.mean_q() >= cfg.qmin or r.qual is None for r in chunk]
-            work = [(r, r.seq.upper(), r.qual, 0) for r, ok in
-                    zip(chunk, q_ok) if ok]
-            for r, ok in zip(chunk, q_ok):
-                stats["total"] += 1
-                if not ok:
-                    stats["low_q"] += 1
-                    stats["unclass"] += 1
-                    out.unclass.append(r)
-            # iterative segmentation for fused reads
+                 "fused_reads": 0, "unclass": 0, "short": 0, "low_q": 0}
+        records = list(records)
+        # spec rule 6: mean-Q filter before classification
+        kept: List[Record] = []
+        for r in records:
+            stats["total"] += 1
+            if r.qual is not None and r.mean_q() < cfg.qmin:
+                stats["low_q"] += 1
+                stats["unclass"] += 1
+                out.unclass.append(r)
+            else:
+                kept.append(r)
+        # spec rule 3: tune q on a subsample when not given
+        if self.q is None:
+            self.q = self.autotune(kept)
+            stats["autotuned_q_x100"] = int(round(self.q * 100))
+        for start in range(0, len(kept), batch_size):
+            chunk = kept[start:start + batch_size]
+            work = [(ci, r.seq.upper(), r.qual, 0)
+                    for ci, r in enumerate(chunk)]
+            segments: Dict[int, List[Record]] = {ci: [] for ci in
+                                                 range(len(chunk))}
             depth = 0
+            # iterative segmentation for fused reads (spec rule 7 +
+            # documented deviation: best-hit + re-scan of the remainder
+            # instead of all-hit interval scheduling)
             while work and depth < cfg.max_segments:
                 hits = self._locate_all([w[1] for w in work])
                 nxt = []
-                for b, (rec, seq, qual, seg_no) in enumerate(work):
+                for b, (ci, seq, qual, seg_no) in enumerate(work):
                     cls = self._classify(seq, hits, b)
                     if cls is None:
-                        if seg_no == 0:
-                            stats["unclass"] += 1
-                            out.unclass.append(rec)
                         continue
                     sign, s0, s1 = cls
                     seg = seq[s0:s1]
@@ -160,17 +271,10 @@ class Reorienter:
                     if sign == "-":
                         seg = encode.revcomp(seg)
                         segq = segq[::-1] if segq else None
-                    name = rec.id if seg_no == 0 else f"{rec.id}|seg{seg_no}"
-                    nr = Record(name, name, seg, segq)
-                    if len(seg) < cfg.min_len:
-                        stats["short"] += 1
-                        out.short.append(nr)
-                    elif seg_no == 0:
-                        stats["pass"] += 1
-                        out.passed.append(nr)
-                    else:
-                        stats["rescued_segments"] += 1
-                        out.rescued.append(nr)
+                    rec = chunk[ci]
+                    name = (rec.id if seg_no == 0
+                            else f"{rec.id}|seg{seg_no}")
+                    segments[ci].append(Record(name, name, seg, segq))
                     # remainder after the 3' primer hit for fused reads
                     i3 = self.name_idx[
                         [c for c in self.configs if c[0] == sign][0][1][1]]
@@ -178,9 +282,32 @@ class Reorienter:
                     rest = seq[rest_start:]
                     restq = qual[rest_start:] if qual else None
                     if len(rest) >= cfg.min_len + 10:
-                        nxt.append((rec, rest, restq, seg_no + 1))
+                        nxt.append((ci, rest, restq, seg_no + 1))
                 work = nxt
                 depth += 1
+            # route per read (spec rule 7): one valid segment -> pass;
+            # fused (2+) -> ALL segments to rescued; none -> unclass;
+            # under-length segments -> short either way
+            for ci, rec in enumerate(chunk):
+                segs = segments[ci]
+                if not segs:
+                    stats["unclass"] += 1
+                    out.unclass.append(rec)
+                    continue
+                long_enough = [s for s in segs if len(s.seq) >= cfg.min_len]
+                for s in segs:
+                    if len(s.seq) < cfg.min_len:
+                        stats["short"] += 1
+                        out.short.append(s)
+                if len(segs) == 1:
+                    if long_enough:
+                        stats["pass"] += 1
+                        out.passed.append(long_enough[0])
+                else:
+                    stats["fused_reads"] += 1
+                    for s in long_enough:
+                        stats["rescued_segments"] += 1
+                        out.rescued.append(s)
         out.stats = stats
         return out
 

@@ -163,6 +163,88 @@ def sharded_dual_demux_step(mesh: Mesh, sp5, sp27rc, read_masks,
 
 
 # ---------------------------------------------------------------------------
+# Per-device Pallas dispatch (the PRODUCTION multi-chip scoring path)
+# ---------------------------------------------------------------------------
+
+def device_parallel_pairwise(devices, pat_codes, pat_lens, txt_codes,
+                             txt_lens, mode: str = "NW",
+                             gate: Optional[np.ndarray] = None
+                             ) -> np.ndarray:
+    """All patterns vs all texts with pattern rows striped over explicit
+    devices; each stripe runs the SAME single-chip production kernel
+    (Pallas on accelerators, XLA Myers on CPU — bit-identical,
+    parity-tested) committed to its device; stripes are all dispatched
+    before any fetch, so devices compute concurrently; results gather on
+    host, where the union-find consumer lives anyway (SURVEY.md §7.4.4).
+
+    This replaces the shard_map-over-XLA path for production scoring
+    (VERDICT r2 next#1): per-chip throughput equals the single-chip
+    Pallas kernel instead of the ~8x slower XLA core.
+
+    gate: optional [P, T] bool — with the Pallas backend only the
+    (TI, TJ) tiles containing a True survive into the sparse tile list;
+    un-gated entries of the result are unspecified (callers mask).
+    Returns [P, T] int32 distances (numpy).
+    """
+    import jax
+    devices = list(devices)
+    ndev = len(devices)
+    P0 = int(pat_codes.shape[0])
+    T0 = int(txt_codes.shape[0])
+    use_pallas = jax.default_backend() not in ("cpu",)
+    stripe = -(-P0 // ndev)
+    lazies = []  # (r0, r1, lazy_dist, Tpad)
+    for k, dev in enumerate(devices):
+        r0, r1 = k * stripe, min((k + 1) * stripe, P0)
+        if r0 >= r1:
+            break
+        pc = np.ascontiguousarray(pat_codes[r0:r1])
+        pl = np.ascontiguousarray(pat_lens[r0:r1])
+        if use_pallas:
+            from ..align.pallas_myers import (WORD, distances_pallas,
+                                              distances_pallas_pairs,
+                                              tile_shape)
+            if gate is not None:
+                W = max(1, -(-int(pc.shape[1]) // WORD))
+                TI, TJ = tile_shape(W)
+                g = gate[r0:r1]
+                Pp = -(-g.shape[0] // TI) * TI
+                Tp = -(-T0 // TJ) * TJ
+                gf = np.zeros((Pp, Tp), bool)
+                gf[:g.shape[0], :T0] = g
+                need = gf.reshape(Pp // TI, TI, Tp // TJ, TJ).any(
+                    axis=(1, 3))
+                pairs = np.argwhere(need).astype(np.int32)
+                if len(pairs) == 0:
+                    lazies.append((r0, r1, None, None))
+                    continue
+                d, _ = distances_pallas_pairs(pc, pl, txt_codes, txt_lens,
+                                              pairs, mode, TI=TI, TJ=TJ,
+                                              device=dev)
+            else:
+                d, _ = distances_pallas(pc, pl, txt_codes, txt_lens, mode,
+                                        fetch_pos=False, device=dev,
+                                        lazy=True)
+            lazies.append((r0, r1, d, None))
+        else:
+            import jax.numpy as jnp
+            W = myers.n_words(int(pc.shape[1]))
+            put = functools.partial(jax.device_put, device=dev)
+            peq = myers.build_peq(put(jnp.asarray(pc)), W,
+                                  put(jnp.asarray(pl, dtype=np.int32)))
+            d, _ = myers.myers_tile(peq, put(jnp.asarray(pl, np.int32)),
+                                    put(jnp.asarray(txt_codes)),
+                                    put(jnp.asarray(txt_lens, np.int32)),
+                                    mode, W)
+            lazies.append((r0, r1, d, None))
+    out = np.zeros((P0, T0), np.int32)
+    for r0, r1, d, _ in lazies:   # fetch AFTER all dispatches
+        if d is not None:
+            out[r0:r1] = np.asarray(d)[:r1 - r0, :T0]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Pairwise tile step: pattern stripe per 'pair' rank, texts replicated
 # ---------------------------------------------------------------------------
 

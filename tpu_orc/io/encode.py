@@ -163,6 +163,112 @@ def pack_batch(seqs, max_len: int | None = None, pad_multiple: int = 128,
     return out, lens
 
 
+def ascii_matrix(seqs, max_len: int | None = None, pad_multiple: int = 1,
+                 pad_value: int = 0):
+    """Pack ASCII sequences into a fixed [B, L] uint8 byte matrix without
+    per-read Python loops (one join + one vectorized gather).
+
+    Returns (bytes [B, L] uint8, lengths [B] int32). The demux hot path
+    (8192-read batches) was spending ~0.2 s/batch in per-read packing +
+    string slicing; this is the vectorized replacement (BENCH.md debt).
+    """
+    B = len(seqs)
+    lens = np.fromiter((len(s) for s in seqs), np.int64, count=B) \
+        if B else np.zeros(0, np.int64)
+    L = int(lens.max()) if (max_len is None and B) else (max_len or 1)
+    L = pad_to(max(L, 1), pad_multiple)
+    if B == 0:
+        return np.zeros((0, L), np.uint8), np.zeros(0, np.int32)
+    buf = np.frombuffer(b"".join(
+        s.encode("ascii") if isinstance(s, str) else bytes(s)
+        for s in seqs), np.uint8)
+    offs = np.zeros(B, np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    idx = offs[:, None] + np.arange(L)[None, :]
+    valid = np.arange(L)[None, :] < np.minimum(lens, L)[:, None]
+    out = np.where(valid, buf[np.minimum(idx, len(buf) - 1)],
+                   np.uint8(pad_value)).astype(np.uint8, copy=False)
+    return out, np.minimum(lens, L).astype(np.int32)
+
+
+def codes_matrix(ascii_mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """[B, L] ASCII bytes -> uint8 codes {0..4}, vectorized; padding -> 4."""
+    c = _CODE_TAB[ascii_mat]
+    valid = np.arange(ascii_mat.shape[1])[None, :] < np.asarray(lens)[:, None]
+    return np.where(valid, c, np.uint8(4))
+
+
+def read_masks_matrix(ascii_mat: np.ndarray, lens: np.ndarray,
+                      pad_value: int = 0) -> np.ndarray:
+    """[B, L] ASCII bytes -> read match masks, vectorized; padding -> 0."""
+    m = _READ_MASK_TAB[ascii_mat]
+    valid = np.arange(ascii_mat.shape[1])[None, :] < np.asarray(lens)[:, None]
+    return np.where(valid, m, np.uint8(pad_value))
+
+
+def revcomp_matrix(ascii_mat: np.ndarray, lens: np.ndarray,
+                   pad_value: int = 0) -> np.ndarray:
+    """Row-wise IUPAC reverse complement of an ASCII byte matrix with
+    per-row lengths (vectorized gather; matches ``revcomp`` per row)."""
+    B, L = ascii_mat.shape
+    lens = np.asarray(lens)
+    comp = _COMP_TAB[ascii_mat]
+    j = np.arange(L)[None, :]
+    src = lens[:, None] - 1 - j
+    valid = j < lens[:, None]
+    return np.where(valid,
+                    comp[np.arange(B)[:, None], np.clip(src, 0, L - 1)],
+                    np.uint8(pad_value)).astype(np.uint8, copy=False)
+
+
+def reverse_matrix(mat: np.ndarray, lens: np.ndarray,
+                   pad_value: int = 0) -> np.ndarray:
+    """Row-wise reversal (no complement) — e.g. quality strings under rc."""
+    B, L = mat.shape
+    lens = np.asarray(lens)
+    j = np.arange(L)[None, :]
+    src = lens[:, None] - 1 - j
+    valid = j < lens[:, None]
+    return np.where(valid, mat[np.arange(B)[:, None], np.clip(src, 0, L - 1)],
+                    np.uint8(pad_value)).astype(np.uint8, copy=False)
+
+
+def shift_left_matrix(mat: np.ndarray, shifts: np.ndarray,
+                      lens: np.ndarray, pad_value: int = 0):
+    """Row-wise left shift (trim prefix): out[i, j] = mat[i, j + shifts[i]]
+    for j < lens[i] - shifts[i]. Returns (matrix, new_lens)."""
+    B, L = mat.shape
+    shifts = np.asarray(shifts)
+    new_lens = np.maximum(np.asarray(lens) - shifts, 0)
+    j = np.arange(L)[None, :]
+    src = j + shifts[:, None]
+    valid = j < new_lens[:, None]
+    out = np.where(valid, mat[np.arange(B)[:, None], np.clip(src, 0, L - 1)],
+                   np.uint8(pad_value)).astype(np.uint8, copy=False)
+    return out, new_lens.astype(np.int32)
+
+
+def pack_codes_2bit(codes: np.ndarray, lens: np.ndarray):
+    """[B, L] uint8 codes {0..4} -> (packed2 [B, L/4] uint8 with 4 bases
+    per byte, other_plane [B, L/8] uint8 with the 'code==4' bit per base).
+
+    0.375 bytes/base instead of 1 — the 2-bit packed upload format for
+    the tunneled TPU link (BENCH.md debt item). L must be a multiple
+    of 8. Device-side unpack: align.batched.unpack_codes_2bit."""
+    B, L = codes.shape
+    assert L % 8 == 0, "pack_codes_2bit needs L % 8 == 0"
+    valid = np.arange(L)[None, :] < np.asarray(lens)[:, None]
+    c = np.where(valid, codes, 4).astype(np.uint8)
+    two = (c & 3).reshape(B, L // 4, 4)
+    packed2 = (two[..., 0] | (two[..., 1] << 2) | (two[..., 2] << 4)
+               | (two[..., 3] << 6)).astype(np.uint8)
+    oth = (c == 4).astype(np.uint8).reshape(B, L // 8, 8)
+    other = np.zeros((B, L // 8), np.uint8)
+    for k in range(8):
+        other |= oth[..., k] << k
+    return packed2, other
+
+
 def length_buckets(lengths, edges=(256, 512, 1024, 2048, 4096, 8192)):
     """Assign each length to a bucket index; returns (bucket_ids, bucket_caps).
 

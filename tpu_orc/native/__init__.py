@@ -66,6 +66,9 @@ def lib() -> ctypes.CDLL:
     L.orc_nw_dist_batch.argtypes = [u8p, ctypes.c_int, u8p, i64p, i32p,
                                     ctypes.c_int, i32p, ctypes.c_int]
     L.orc_nw_dist_batch.restype = None
+    L.orc_hw_pairs.argtypes = [u8p, i64p, i32p, i32p, i32p, ctypes.c_int,
+                               i32p, i32p, ctypes.c_int]
+    L.orc_hw_pairs.restype = None
     u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     L.orc_pileup_from_bits.argtypes = [u32p, ctypes.c_long, ctypes.c_int,
                                        u8p, i64p, i32p, ctypes.c_int,
@@ -251,6 +254,22 @@ def orient_batch(first_codes: np.ndarray, codes_list):
         seqs, offs, lens = _concat(codes_list)
         lib().orc_orient_batch(first, len(first), seqs, offs, lens, n,
                                d_f, d_r, 0)
+    return d_f, d_r
+
+
+def hw_pairs(codes_list, pairs_a, pairs_b, nthreads: int = 0):
+    """Batched HW(short-in-long) distances for consensus pairs, forward
+    and vs the longer's reverse complement: (d_fwd [K], d_rc [K]).
+    One ctypes crossing for all merge-loop pairs."""
+    pa = np.ascontiguousarray(pairs_a, np.int32)
+    pb = np.ascontiguousarray(pairs_b, np.int32)
+    K = len(pa)
+    d_f = np.zeros(K, np.int32)
+    d_r = np.zeros(K, np.int32)
+    if K:
+        seqs, offs, lens = _concat(codes_list)
+        lib().orc_hw_pairs(seqs, offs, lens, pa, pb, K, d_f, d_r,
+                           nthreads)
     return d_f, d_r
 
 

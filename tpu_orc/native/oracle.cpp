@@ -600,4 +600,31 @@ void orc_orient_batch(const uint8_t* first, int l0, const uint8_t* seqs,
     });
 }
 
+// Batched consensus-pair HW distances: for each pair (pa[k], pb[k]) the
+// HW distance of the shorter sequence within the longer, forward and vs
+// the longer's reverse complement, threaded, ONE ctypes crossing for all
+// G^2 merge-loop pairs (engine._hw_sim; reference iden_consensus
+// amplicon_sorter.py:1140-1159 / compare_consensus :1840-1960).
+void orc_hw_pairs(const uint8_t* seqs, const long* offs, const int* lens,
+                  const int* pa, const int* pb, int npairs,
+                  int* d_fwd, int* d_rc, int nthreads) {
+    parallel_for(npairs, orc_nthreads(nthreads), [&](int k) {
+        const int a = pa[k], b = pb[k];
+        const uint8_t* A = seqs + offs[a];
+        const uint8_t* B = seqs + offs[b];
+        int la = lens[a], lb = lens[b];
+        const uint8_t* S = A;
+        const uint8_t* L = B;
+        int ls = la, ll = lb;
+        if (la > lb) { S = B; ls = lb; L = A; ll = la; }
+        d_fwd[k] = orc_edit_distance(S, ls, L, ll, 2);
+        std::vector<uint8_t> rc((size_t)ll, 4);
+        for (int i = 0; i < ll; i++) {
+            const uint8_t c = L[ll - 1 - i];
+            rc[i] = c < 4 ? (uint8_t)(3 - c) : c;
+        }
+        d_rc[k] = orc_edit_distance(S, ls, rc.data(), ll, 2);
+    });
+}
+
 }  // extern "C"

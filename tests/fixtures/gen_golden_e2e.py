@@ -85,8 +85,20 @@ def main():
     write_records(os.path.join(FIX, "golden_coi.fastq"), coi, fmt="fastq")
 
     # --- rRNA dataset: one template, ~3.7 kb -----------------------------
-    gene = (rand(700) + ANCHOR_18S_END + rand(280) + ANCHOR_28S_START
-            + rand(2500))
+    # Junctions are MUTATED + INDEL'D variants of the universal anchors
+    # (2 subs + 1 del each -> identity ~0.84), NOT the module constants
+    # verbatim (VERDICT r2 #5 de-circularization): the anchor finder
+    # must succeed through its error tolerance, not by string equality.
+    def perturb_anchor(a):
+        s = list(a)
+        for p in random.sample(range(1, len(s) - 1), 2):
+            s[p] = random.choice([c for c in "ACGT" if c != s[p]])
+        del s[random.randrange(1, len(s) - 1)]
+        return "".join(s)
+
+    j18 = perturb_anchor(ANCHOR_18S_END)
+    j28 = perturb_anchor(ANCHOR_28S_START)
+    gene = rand(700) + j18 + rand(280) + j28 + rand(2500)
     rna_f = concretize(rna_pairs[0].fwd)
     rna_r = concretize(rna_pairs[0].rev)
     rrna = []

@@ -233,6 +233,22 @@ def test_all_vs_all_threaded_matches_single(rng):
     assert (d1 == d2).all()
 
 
+def test_hw_sims_pairs_matches_per_pair(rng):
+    """The batched G^2 consensus-pair scorer (one native crossing,
+    orc_hw_pairs) returns exactly what per-pair _hw_sim computes."""
+    from tpu_orc.cluster.engine import AmpliconSorter, SorterConfig
+    eng = AmpliconSorter(SorterConfig())
+    cons = []
+    for _ in range(7):
+        n = int(rng.integers(60, 200))
+        cons.append("".join("ACGT"[c] for c in rng.integers(0, 4, n)))
+    pairs = [(a, b) for a in range(len(cons) - 1)
+             for b in range(a + 1, len(cons))]
+    sims = eng._hw_sims_pairs(cons, pairs)
+    for (a, b), s in zip(pairs, sims):
+        assert abs(s - eng._hw_sim(cons[a], cons[b])) < 1e-9, (a, b)
+
+
 def test_device_pileup_backend_parity(rng):
     """The Pallas path-bits kernel + C++ traceback-from-bits (consensus
     backend='device') reproduces the host pileup counts bit-for-bit

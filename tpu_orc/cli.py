@@ -148,6 +148,16 @@ def main(argv=None):
     sp.add_argument("-g", "--gene", required=True)
     sp.add_argument("-o", "--outdir")
 
+    sp = add("figures")
+    sp.add_argument("-o", "--outdir", required=True)
+    sp.add_argument("--blast-csv", default=None,
+                    help="manual-BLAST verdict CSV -> success bars + "
+                         "readcount means")
+    sp.add_argument("--lca-csv", default=None,
+                    help="lca_table CSV -> lollipop + bubble figures")
+    sp.add_argument("--flow-tsv", default=None,
+                    help="stage_read_flow TSV -> read-conservation bands")
+
     sp = add("run-all")
     sp.add_argument("input")
     sp.add_argument("-o", "--outdir", required=True)
@@ -263,6 +273,33 @@ def main(argv=None):
                                             args.samples_fasta, args.gene,
                                             args.outdir)
         print(json.dumps({"cleaned": clean, "metadata": meta}))
+    elif args.cmd == "figures":
+        import csv as _csv
+        from .analysis import figures as figs
+        from .analysis.reports import success_metrics
+        written = []
+        if args.blast_csv:
+            rows = list(_csv.DictReader(open(args.blast_csv)))
+            by_ds = {}
+            for r in rows:
+                by_ds.setdefault(r.get("plate", "all"), []).append(r)
+            written.append(figs.plot_success_metrics(
+                {d: success_metrics(rs) for d, rs in by_ds.items()},
+                os.path.join(args.outdir, "success_metrics.png")))
+            written.append(figs.plot_readcount_means(
+                rows, os.path.join(args.outdir, "readcount_means.png")))
+        if args.lca_csv:
+            rows = list(_csv.DictReader(open(args.lca_csv)))
+            written.append(figs.plot_lca_lollipop(
+                rows, os.path.join(args.outdir, "lca_lollipop.png")))
+            written.append(figs.plot_lca_bubble(
+                rows, os.path.join(args.outdir, "lca_bubble.png")))
+        if args.flow_tsv:
+            rows = list(_csv.DictReader(open(args.flow_tsv),
+                                        delimiter="\t"))
+            written.append(figs.plot_read_flow(
+                rows, os.path.join(args.outdir, "read_flow.png")))
+        print(json.dumps({"figures": written}))
     elif args.cmd == "run-all":
         from .pipeline.stages import PipelineConfig, run_all
         cfg = PipelineConfig(rrna_hmm=args.rrna_hmm,

@@ -51,9 +51,22 @@ class ProfileHMM:
 def parse_hmmer3(path: str) -> List[ProfileHMM]:
     """Parse all models in a HMMER3 .hmm text file (DNA alphabet).
 
-    HMMER stores negative natural-log probabilities; '*' means zero
-    probability. Emission scores are converted to log-odds against the
-    0.25 background.
+    Verified against the real HMMER3/f layout (HMMER User Guide "HMM
+    file format"; tests/fixtures/gen_euk_hmm_fixture.py writes a
+    full-annotation multi-model fixture):
+
+    * header block: NAME/ACC/DESC/LENG/MAXL/ALPH/RF/MM/CONS/CS/MAP/
+      DATE/COM/NSEQ/EFFN/CKSUM/STATS/GA/TC/NC lines in any order;
+    * ``HMM  A  C  G  T`` alphabet line (DNA enforced — protein models
+      are rejected, not silently mis-read) + the transition-name line;
+    * optional COMPO line; node-0 insert-emission + transition lines;
+    * per node: match-emission line ``k  eA eC eG eT  MAP CONS RF MM
+      CS`` (annotation columns present or absent), insert-emission
+      line, 7-column transition line; node indices are VERIFIED;
+    * ``*`` = -inf (zero probability; e.g. the last node's m->d/d->d).
+
+    HMMER stores negative natural-log probabilities. Emission scores
+    are converted to log-odds against the 0.25 background.
     """
     models = []
     with open(path) as fh:
@@ -71,24 +84,41 @@ def parse_hmmer3(path: str) -> List[ProfileHMM]:
             if lines[i].startswith("LENG"):
                 K = int(lines[i].split()[1])
             i += 1
-        # header of emission table: "HMM A C G T" then transition header
+        if i >= len(lines):
+            raise ValueError(f"{path}: model {name!r}: no HMM table")
+        if K <= 0:
+            raise ValueError(f"{path}: model {name!r}: missing LENG")
+        alpha = lines[i].split()[1:]
+        if alpha[:4] != ["A", "C", "G", "T"]:
+            raise ValueError(
+                f"{path}: model {name!r}: not a DNA profile "
+                f"(alphabet {alpha[:4]})")
+        # "HMM A C G T" line + transition-name line
         i += 2
         def val(tok: str) -> float:
             return NEG if tok == "*" else -float(tok)
-        # optional COMPO line
+        # optional COMPO line (average match emissions)
         if i < len(lines) and lines[i].strip().startswith("COMPO"):
             i += 1
-        # node 0 insert emissions + transitions
+        # node 0: insert emissions + begin transitions
         i += 2
         match = np.zeros((K, 4))
         trans = np.full((K, 7), NEG)
         for k in range(K):
             toks = lines[i].split()
+            if not toks or toks[0] != str(k + 1):
+                raise ValueError(
+                    f"{path}: model {name!r}: expected node {k + 1} "
+                    f"match line, got: {lines[i]!r}")
             ems = [val(t) for t in toks[1:5]]
             match[k] = [e - math.log(0.25) for e in ems]
             i += 1
-            i += 1  # insert emissions (assumed background)
+            i += 1  # insert emissions (background in practice)
             toks = lines[i].split()
+            if len(toks) < 7:
+                raise ValueError(
+                    f"{path}: model {name!r}: node {k + 1} transition "
+                    f"line has {len(toks)} columns, expected 7")
             trans[k] = [val(t) for t in toks[:7]]
             i += 1
         models.append(ProfileHMM(name, match, trans))

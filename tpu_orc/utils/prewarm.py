@@ -19,7 +19,7 @@ import numpy as np
 
 
 def prewarm(adapters_dir: str = "/root/reference/adapters_primers",
-            demux_lens: Iterable[int] = (512,),
+            demux_lens: Iterable[int] = (384, 512, 640),
             demux_batch: int = 2048,
             myers_lens: Iterable[int] = (512, 4096, 8192),
             verbose: bool = True) -> dict:

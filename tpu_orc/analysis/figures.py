@@ -138,6 +138,29 @@ def plot_lca_bubble(lca_rows: Sequence[Dict], path: str) -> str:
     return _save(plt, fig, path)
 
 
+def plot_length_histogram(lengths: Sequence[int], path: str,
+                          bins: int = 60) -> str:
+    """NanoPlot-style read-length histogram (00_nanoplot.sh output)."""
+    plt, fig, ax = _ax()
+    ax.hist(list(lengths), bins=bins, color="#2b8cbe", edgecolor="none")
+    ax.set_xlabel("read length (bp)")
+    ax.set_ylabel("reads")
+    ax.set_title("Read length distribution")
+    return _save(plt, fig, path)
+
+
+def plot_length_vs_quality(lengths: Sequence[int],
+                           mean_quals: Sequence[float], path: str) -> str:
+    """NanoPlot's signature length x mean-base-quality scatter."""
+    plt, fig, ax = _ax()
+    ax.scatter(list(lengths), list(mean_quals), s=4, alpha=0.35,
+               color="#045a8d", edgecolors="none")
+    ax.set_xlabel("read length (bp)")
+    ax.set_ylabel("mean base quality (phred)")
+    ax.set_title("Read length vs quality")
+    return _save(plt, fig, path)
+
+
 def plot_readcount_means(rows: Sequence[Dict], path: str) -> str:
     """Mean max_readcount per primer set (hit1_primer_set), bar chart."""
     sums: Dict[str, float] = defaultdict(float)

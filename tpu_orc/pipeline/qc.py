@@ -81,4 +81,18 @@ def write_stats(records, outdir: str, name: str) -> ReadStats:
         fh.write("bin_start\tbin_end\tcount\n")
         for i, c in enumerate(hist):
             fh.write(f"{edges[i]:.0f}\t{edges[i + 1]:.0f}\t{c}\n")
+    # rendered NanoPlot-style figures (lengths histogram + the
+    # length x mean-quality scatter) when matplotlib is available
+    try:
+        from ..analysis import figures as figs
+        if len(lengths):
+            figs.plot_length_histogram(
+                lengths, os.path.join(d, "LengthHistogram.png"))
+            lq = [(len(r.seq), r.mean_q()) for r in records if r.qual]
+            if lq:
+                figs.plot_length_vs_quality(
+                    [a for a, _ in lq], [b for _, b in lq],
+                    os.path.join(d, "LengthVsQuality.png"))
+    except ImportError:  # plotting backend absent: TSVs remain the contract
+        pass
     return stats

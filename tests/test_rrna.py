@@ -489,3 +489,141 @@ def test_extract_rrna_anchor_default_layout(tmp_path, rng):
     assert (tmp_path / "BC02_28S.fa").exists()
     txt = (tmp_path / "BC02_18S.fa").read_text()
     assert txt.startswith(">18S_rRNA::ct:")
+
+
+# ---------------------------------------------------------------------------
+# Zero-config default: conserved-core block profiles (rrna/profiles.py)
+# ---------------------------------------------------------------------------
+
+def _block_edit(rng, s, subs, dels):
+    s = list(s)
+    for p in rng.choice(len(s) - 2, subs, replace=False):
+        s[int(p) + 1] = str(rng.choice([c for c in "ACGT"
+                                        if c != s[int(p) + 1]]))
+    for _ in range(dels):
+        del s[int(rng.integers(1, len(s) - 1))]
+    return "".join(s)
+
+
+def _realistic_rrna_contig(rng, subs=2, dels=1):
+    """Full 18S|ITS1|5.8S|ITS2|28S amplicon whose conserved cores are
+    mutated+indel'd (NOT the module constants) at realistic inter-block
+    spacing. Returns (contig, j18, j28)."""
+    from tpu_orc.rrna.profiles import EUK_SSU_BLOCKS, EUK_LSU_BLOCKS, IUPAC
+
+    def pad(n):
+        return "".join(rng.choice(list("ACGT"), size=n))
+
+    def expand(s):
+        return "".join(rng.choice(list(IUPAC[c])) for c in s)
+
+    ssu = [_block_edit(rng, expand(b[1]), subs, dels)
+           for b in EUK_SSU_BLOCKS]
+    lsu = [_block_edit(rng, expand(b[1]), subs, dels)
+           for b in EUK_LSU_BLOCKS]
+    contig = (pad(50) + ssu[0] + pad(480) + ssu[1] + pad(1040) + ssu[2]
+              + pad(140) + ssu[3]
+              + pad(180) + pad(160) + pad(250)      # ITS1 | 5.8S | ITS2
+              + lsu[0] + pad(540) + lsu[1] + pad(290) + lsu[2] + pad(300))
+    j18 = 50 + sum(map(len, ssu)) + 480 + 1040 + 140
+    j28 = j18 + 180 + 160 + 250
+    return contig, j18, j28
+
+
+def test_block_profile_default_mutated_contig():
+    """The zero-config default detects both genes via the PROFILE path
+    (log-odds score >= min_score, not the identity-scale anchor
+    fallback) on a contig whose every conserved core carries 2 subs +
+    1 indel, and splits at the true junctions on both strands."""
+    from tpu_orc.rrna.profiles import find_rrna_default
+
+    rng = np.random.default_rng(7)
+    contig, j18, j28 = _realistic_rrna_contig(rng)
+    recs = [Record("c", "c", contig),
+            Record("cr", "cr", encode.revcomp(contig))]
+    hits = find_rrna_default(recs)
+    n = len(contig)
+    got = {(h.gene, h.contig_id): h for g in hits for h in hits[g]}
+    assert set(got) == {("18S", "c"), ("18S", "cr"),
+                        ("28S", "c"), ("28S", "cr")}
+    for h in got.values():
+        assert h.score >= 25.0, "profile path must fire, not the fallback"
+    assert abs(got[("18S", "c")].end - j18) <= 4
+    assert got[("18S", "c")].strand == "+"
+    assert abs(got[("28S", "c")].start - j28) <= 4
+    assert got[("18S", "cr")].strand == "-"
+    assert abs(got[("18S", "cr")].start - (n - j18)) <= 4
+    assert abs(got[("28S", "cr")].end - (n - j28)) <= 4
+    assert got[("18S", "c")].seq == got[("18S", "cr")].seq
+
+
+def test_block_profile_28s_only_pairB_amplicon():
+    """Pair-B style amplicon (28S only, starting mid-way into the LSU
+    5' core, no 18S content): the 28S profile fires with the junction at
+    the contig start; no 18S hit is emitted."""
+    from tpu_orc.rrna.profiles import (EUK_LSU_BLOCKS, IUPAC,
+                                       find_rrna_default)
+
+    rng = np.random.default_rng(8)
+
+    def pad(n):
+        return "".join(rng.choice(list("ACGT"), size=n))
+
+    def expand(s):
+        return "".join(rng.choice(list(IUPAC[c])) for c in s)
+
+    lsu = [_block_edit(rng, expand(b[1]), 1, 0) for b in EUK_LSU_BLOCKS]
+    contig = lsu[0][12:] + pad(540) + lsu[1] + pad(290) + lsu[2] + pad(900)
+    hits = find_rrna_default([Record("b", "b", contig)])
+    assert not hits["18S"]
+    assert len(hits["28S"]) == 1
+    h = hits["28S"][0]
+    assert h.score >= 25.0 and h.strand == "+"
+    assert h.start <= 4 and h.end == len(contig)
+
+
+def test_block_profile_falls_back_to_anchor():
+    """Junction cores mutated to 2 subs each: too diverged for the
+    profile gate (the lone junction block nets ~19 nats < 25) but within
+    the anchor's 0.75 identity slack — behavior matches the r2 anchor
+    default: identity-scale score, anchor-footprint split."""
+    from tpu_orc.rrna.anchors import ANCHOR_18S_END, ANCHOR_28S_START
+    from tpu_orc.rrna.profiles import find_rrna_default
+
+    rng = np.random.default_rng(9)
+
+    def pad(n):
+        return "".join(rng.choice(list("ACGT"), size=n))
+
+    j18 = _block_edit(rng, ANCHOR_18S_END, 2, 0)
+    j28 = _block_edit(rng, ANCHOR_28S_START, 2, 0)
+    contig = pad(400) + j18 + pad(250) + j28 + pad(500)
+    hits = find_rrna_default([Record("a", "a", contig)])
+    assert len(hits["18S"]) == 1 and len(hits["28S"]) == 1
+    h18, h28 = hits["18S"][0], hits["28S"][0]
+    assert h18.score <= 1.0 and h28.score <= 1.0   # identity scale
+    assert abs(h18.end - (400 + len(j18))) <= 2
+    assert abs(h28.start - (400 + len(j18) + 250)) <= 2
+
+
+def test_block_profile_no_new_false_positives():
+    """The profile path must add ZERO hits beyond the (slack-bounded)
+    anchor fallback on pure-random contigs — any random hit must carry
+    an identity-scale fallback score and also appear in the r2
+    anchor-only detector's output."""
+    from tpu_orc.rrna.anchors import find_rrna_by_anchors
+    from tpu_orc.rrna.profiles import find_rrna_default
+
+    rng = np.random.default_rng(10)
+
+    rnd = [Record(f"r{i}", f"r{i}",
+                  "".join(rng.choice(list("ACGT"), size=3000)))
+           for i in range(8)]
+    got = find_rrna_default(rnd)
+    ref = find_rrna_by_anchors(rnd)
+    for gene in ("18S", "28S"):
+        ids = {h.contig_id for h in got[gene]}
+        ref_ids = {h.contig_id for h in ref[gene]}
+        assert ids <= ref_ids
+        for h in got[gene]:
+            assert h.score <= 1.0, "random contig passed the profile gate"

@@ -1,0 +1,275 @@
+"""Zero-config stage-05 default: universal eukaryote conserved-core
+profiles (VERDICT r2 missing #2 / next #5).
+
+barrnap ships full-length eukaryote rRNA HMMs
+(05a_barrnap_rRNA_extract.sh:70-72); no model database can ship in this
+zero-egress build. Instead of a single junction anchor per gene
+(rrna/anchors.py, the r1/r2 default), the out-of-the-box detector is now
+a **block profile HMM** per gene, built from the universally conserved
+eukaryotic rRNA sites that three decades of universal-primer literature
+rest on — real, citable biology, not module-invented constants:
+
+18S (SSU), sense strand, 5'→3' (approx. gene positions for context):
+
+* ``SSU_F04`` site  ``GCTTGTCTCAAAGATTAAGCC``      (~pos 59)
+  — the reference's own 18S forward primer (RNA_primers.fa:1-2),
+  published as universal SSU_F04 (Blaxter et al. 1998).
+* V4 universal site ``GTGCCAGCMGCCGCGGTAA``        (~pos 565)
+  — the 515F/565F universal SSU primer region (Caporaso et al. 2011),
+  conserved across eukaryotes/bacteria/archaea.
+* SSU 3' universal  ``TTGTACACACCGCCC``            (~pos 1630)
+  — the 1389F universal SSU site (Amaral-Zettler et al. 2009).
+* ITS1 site         ``TCCGTAGGTGAACCTGCGG``        (~pos 1790, terminus)
+  — White et al. 1990; the conserved 3' terminus of eukaryotic 18S.
+  THIS block's match end is the 18S/ITS1 junction.
+
+28S (LSU), sense strand:
+
+* 5' conserved core ``ACCCGCTGAAYTTAAGCATATCAATAAGCGGAGGAAAAG``
+  (~pos 25-63) — one contiguous stretch containing the LR0R site
+  (Vilgalys lab; the reference's own F63.2 primer anneals here,
+  RNA_primers.fa:7-8) immediately followed by the NL1/ITS4-rc site
+  (O'Donnell 1993; White et al. 1990). THIS block's match start is the
+  ITS2/28S junction (within ~25 nt of the true 28S 5' end, same
+  approximation as the r2 anchor split).
+* D2 3' flank       ``CCGTCTTGAAACACGGACC``        (~pos 616)
+  — reverse complement of the universal NL4/LR3-region primer.
+* LR5 site (rc)     ``CGAAGTTTCCCTCAGGA``          (~pos 933)
+  — reverse complement of the universal LR5 LSU primer.
+
+The blocks are joined by high-self-loop insert states (the variable
+regions between conserved cores), giving a local profile HMM scored by
+the existing Kogge-Stone Viterbi kernel (rrna/hmm.py). Local semantics
+(free start/end in both model and sequence) mean absent flank blocks
+cost nothing — important because stage 04 trims the primer sites off
+cleaned contigs, and because pair-B amplicons (28S only) start mid-way
+into the 28S 5' core block.
+
+Split semantics match the amplicon layout (18S | ITS1 | 5.8S | ITS2 |
+28S, anchors.py docstring): 18S = contig[:junction18_end], 28S =
+contig[junction28_start:]. The junction position comes from the profile
+when its best local path ends (18S) / starts (28S) inside the junction
+block with score >= ``min_score``; otherwise the detector falls back to
+the single-anchor Myers locate (identity >= 0.75) — so junction-only
+contigs behave exactly as the r2 anchor default did. Strand is voted by
+total profile evidence over both genes (with anchor pseudo-scores, on
+the same log-odds scale, as the fallback contribution).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..io import encode
+from ..io.fastq import Record
+from .hmm import ProfileHMM, viterbi_scan
+
+IUPAC = {"A": "A", "C": "C", "G": "G", "T": "T",
+         "R": "AG", "Y": "CT", "S": "GC", "W": "AT", "K": "GT",
+         "M": "AC", "B": "CGT", "D": "AGT", "H": "ACT", "V": "ACG",
+         "N": "ACGT"}
+
+# (name, IUPAC sense-strand sequence, approx. position in gene) — the
+# position is documentation/fixture metadata only; the HMM encodes
+# inter-block spacing as unbounded geometric inserts.
+EUK_SSU_BLOCKS: List[Tuple[str, str, int]] = [
+    ("SSU_F04", "GCTTGTCTCAAAGATTAAGCC", 59),
+    ("SSU_V4", "GTGCCAGCMGCCGCGGTAA", 565),
+    ("SSU_1389F", "TTGTACACACCGCCC", 1630),
+    ("ITS1_site", "TCCGTAGGTGAACCTGCGG", 1790),
+]
+EUK_LSU_BLOCKS: List[Tuple[str, str, int]] = [
+    ("LSU_5p_core", "ACCCGCTGAAYTTAAGCATATCAATAAGCGGAGGAAAAG", 25),
+    ("NL4_rc", "CCGTCTTGAAACACGGACC", 616),
+    ("LR5_rc", "CGAAGTTTCCCTCAGGA", 933),
+]
+
+# emission model: p_match mass on the allowed IUPAC set, rest spread
+P_MATCH = 0.92
+LAM_M = math.log(P_MATCH / 0.25)            # per-base match log-odds
+LAM_X = math.log((1 - P_MATCH) / 3 / 0.25)  # per-base mismatch log-odds
+
+
+def build_block_profile(blocks: Sequence[Tuple[str, str, int]],
+                        name: str,
+                        p_gap: float = 0.05,
+                        p_insert_stay: float = 0.995) -> ProfileHMM:
+    """Profile HMM whose match states are the concatenated conserved
+    blocks; the last node of each non-final block opens a high-self-loop
+    insert state modelling the variable region to the next block
+    (~``-log(p_insert_stay)`` nat/nt, ~0.005 default). The insert EXIT
+    is scored log(1/2) rather than log(1-p_insert_stay): the geometric
+    length model lives entirely in the self-loop, so crossing a join
+    costs only the spacer run — HMMER's local entry/exit scores are
+    similarly unnormalized. (With exit = log 0.005 the three SSU joins
+    cost 16 nats and realistic 2-sub/1-del-per-block contigs fell under
+    min_score, silently degrading the default to the anchor fallback.)"""
+    seqs = [b[1].upper() for b in blocks]
+    K = sum(len(s) for s in seqs)
+    match = np.zeros((K, 4))
+    trans = np.zeros((K, 7))
+    l_in = (math.log(1 - 2 * p_gap), math.log(p_gap), math.log(p_gap),
+            math.log(0.5), math.log(0.5), math.log(0.5), math.log(0.5))
+    l_gap = (math.log(p_gap), math.log(1 - 2 * p_gap), math.log(p_gap),
+             math.log(0.5), math.log(p_insert_stay),
+             math.log(0.5), math.log(0.5))
+    k = 0
+    for bi, s in enumerate(seqs):
+        for j, ch in enumerate(s):
+            allowed = IUPAC.get(ch, "ACGT")
+            for b, base in enumerate("ACGT"):
+                p = (P_MATCH / len(allowed) if base in allowed
+                     else (1 - P_MATCH) / (4 - len(allowed)))
+                match[k, b] = math.log(p / 0.25)
+            last_of_block = (j == len(s) - 1) and (bi < len(seqs) - 1)
+            trans[k] = l_gap if last_of_block else l_in
+            k += 1
+    return ProfileHMM(name, match, trans)
+
+
+def _reverse_profile(p: ProfileHMM) -> ProfileHMM:
+    return ProfileHMM(p.name + "_rev", p.match_scores[::-1].copy(),
+                      p.t[::-1].copy())
+
+
+_CACHE: Dict[str, ProfileHMM] = {}
+
+
+def default_euk_profiles() -> Dict[str, ProfileHMM]:
+    """{'18S': ProfileHMM, '28S': ProfileHMM} built from the universal
+    conserved-core blocks (cached)."""
+    if not _CACHE:
+        _CACHE["18S"] = build_block_profile(EUK_SSU_BLOCKS, "euk_18S_core")
+        _CACHE["28S"] = build_block_profile(EUK_LSU_BLOCKS, "euk_28S_core")
+    return dict(_CACHE)
+
+
+# ---------------------------------------------------------------------------
+# Default detector: profile-first junction split, anchor fallback
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Scan:
+    score: np.ndarray     # [2B]
+    pos: np.ndarray       # [2B] 1-based end position (in scan direction)
+    node: np.ndarray      # [2B] 0-based end node
+
+
+def _pack_both_strands(records: Sequence[Record]):
+    seqs = []
+    for r in records:
+        seqs.append(r.seq.upper())
+        seqs.append(encode.revcomp(r.seq.upper()))
+    codes = [encode.encode_codes(s) for s in seqs]
+    L = -(-max(len(c) for c in codes) // 128) * 128
+    fwd = np.full((len(codes), L), 4, np.uint8)
+    rev = np.full((len(codes), L), 4, np.uint8)
+    lens = np.zeros(len(codes), np.int32)
+    for i, c in enumerate(codes):
+        fwd[i, :len(c)] = c
+        rev[i, :len(c)] = c[::-1]
+        lens[i] = len(c)
+    return fwd, rev, lens
+
+
+def find_rrna_default(records: Sequence[Record],
+                      min_score: float = 25.0,
+                      min_anchor_identity: float = 0.75,
+                      min_len: int = 80) -> Dict[str, List["RRNAHit"]]:
+    """Split contigs at the 18S/ITS1 and ITS2/28S junctions, detecting
+    genes with the conserved-core profiles (primary) and the r2 single
+    anchors (fallback). Returns {gene: [RRNAHit, ...]}; same output
+    contract as :func:`~tpu_orc.rrna.anchors.find_rrna_by_anchors`."""
+    from .extract import RRNAHit
+    from ..align.myers import distances_with_pos
+    from .anchors import ANCHOR_18S_END, ANCHOR_28S_START
+
+    out: Dict[str, List[RRNAHit]] = {"18S": [], "28S": []}
+    if not records:
+        return out
+    profs = default_euk_profiles()
+    p18, p28 = profs["18S"], profs["28S"]
+    len18_last = len(EUK_SSU_BLOCKS[-1][1])
+    len28_first = len(EUK_LSU_BLOCKS[0][1])
+
+    fwd, rev, tlens = _pack_both_strands(records)
+    # 18S junction = END of the terminal (ITS1) block -> forward scan.
+    s18 = _Scan(*viterbi_scan(p18, fwd, tlens))
+    # 28S junction = START of the initial (LSU 5' core) block -> scan the
+    # reversed profile over reversed sequences; its end is the start.
+    s28 = _Scan(*viterbi_scan(_reverse_profile(p28), rev, tlens))
+
+    # Anchor fallback locates (same junction sites, Myers HW).
+    anchors = [ANCHOR_18S_END, ANCHOR_28S_START]
+    acodes = [encode.encode_codes(a) for a in anchors]
+    M = -(-max(len(c) for c in acodes) // 32) * 32
+    pat = np.full((2, M), 4, np.uint8)
+    rpat = np.full((2, M), 4, np.uint8)
+    plens = np.zeros(2, np.int32)
+    for i, c in enumerate(acodes):
+        pat[i, :len(c)] = c
+        rpat[i, :len(c)] = c[::-1]
+        plens[i] = len(c)
+    d, end_pos = distances_with_pos(pat, plens, fwd, tlens, "HW")
+    _, rend_pos = distances_with_pos(rpat, plens, rev, tlens, "HW")
+    ident = 1.0 - d / np.maximum(plens[:, None], 1)
+
+    def anchor_pseudo(a: int, k: int) -> float:
+        """Anchor locate evidence on the profile's log-odds scale."""
+        iden = float(ident[a, k])
+        if iden < min_anchor_identity:
+            return 0.0
+        L = float(plens[a])
+        return L * (iden * LAM_M + (1 - iden) * LAM_X)
+
+    def gene_evidence(k: int) -> Tuple[float, float]:
+        e18 = (float(s18.score[k]) if s18.score[k] >= min_score
+               else anchor_pseudo(0, k))
+        e28 = (float(s28.score[k]) if s28.score[k] >= min_score
+               else anchor_pseudo(1, k))
+        return e18, e28
+
+    for ri, rec in enumerate(records):
+        kf, kr = 2 * ri, 2 * ri + 1
+        evf, evr = sum(gene_evidence(kf)), sum(gene_evidence(kr))
+        if evf <= 0 and evr <= 0:
+            continue
+        k, strand = (kf, "+") if evf >= evr else (kr, "-")
+        seq = rec.seq.upper() if strand == "+" \
+            else encode.revcomp(rec.seq.upper())
+        n = len(seq)
+        tl = int(tlens[k])
+
+        # --- 18S: prefix through the junction -----------------------------
+        end18 = None
+        score18 = 0.0
+        if (s18.score[k] >= min_score
+                and int(s18.node[k]) >= p18.K - len18_last):
+            end18 = int(s18.pos[k])
+            score18 = float(s18.score[k])
+        elif ident[0, k] >= min_anchor_identity:
+            end18 = int(end_pos[0, k])
+            score18 = float(ident[0, k])
+        if end18 is not None and end18 >= min_len:
+            s, e = (0, end18) if strand == "+" else (n - end18, n)
+            out["18S"].append(RRNAHit("18S", rec.id, s, e, strand,
+                                      score18, seq[:end18]))
+
+        # --- 28S: suffix from the junction ---------------------------------
+        start28 = None
+        score28 = 0.0
+        if (s28.score[k] >= min_score
+                and int(s28.node[k]) >= p28.K - len28_first):
+            start28 = max(0, tl - int(s28.pos[k]))
+            score28 = float(s28.score[k])
+        elif ident[1, k] >= min_anchor_identity:
+            start28 = max(0, tl - int(rend_pos[1, k]))
+            score28 = float(ident[1, k])
+        if start28 is not None and n - start28 >= min_len:
+            s, e = (start28, n) if strand == "+" else (0, n - start28)
+            out["28S"].append(RRNAHit("28S", rec.id, s, e, strand,
+                                      score28, seq[start28:]))
+    return out

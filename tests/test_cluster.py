@@ -273,3 +273,87 @@ def test_device_pileup_backend_parity(rng):
         a = C.pileup_counts(base, reads, backend="native")
         b = C.pileup_counts(base, reads, backend="device")
         assert a.shape == b.shape and (a == b).all(), trial
+
+
+def _mutate_reads(rng, base, n, rate=8):
+    reads = []
+    for _ in range(n):
+        s = list(base)
+        for _ in range(int(rng.integers(0, max(2, len(base) // rate)))):
+            op = int(rng.integers(0, 3))
+            p = int(rng.integers(0, len(s)))
+            if op == 0:
+                s[p] = int(rng.integers(0, 5))
+            elif op == 1 and len(s) > 1:
+                del s[p]
+            else:
+                s.insert(p, int(rng.integers(0, 5)))
+        reads.append(np.array(s, np.uint8))
+    return reads
+
+
+def test_multi_group_pileup_parity():
+    """ONE multi-group kernel launch (path_bits_groups, scalar-prefetched
+    draft selection) returns per-group counts bit-identical to per-group
+    calls — across drafts of different word counts (W padding inert) and
+    group sizes straddling the TJ=128 tile boundary."""
+    from tpu_orc.cluster import consensus as C
+
+    rng = np.random.default_rng(21)
+    drafts, groups = [], []
+    for L, R in ((45, 3), (200, 1), (700, 130), (120, 17)):
+        base = rng.integers(0, 4, size=L).astype(np.uint8)
+        drafts.append(base)
+        groups.append(_mutate_reads(rng, base, R))
+    multi = C.pileup_counts_multi(drafts, groups, backend="device")
+    for d, rs, m in zip(drafts, groups, multi):
+        a = C.pileup_counts(d, rs, backend="native")
+        assert a.shape == m.shape and (a == m).all()
+
+
+def test_build_consensus_multi_parity(monkeypatch):
+    """build_consensus_multi == per-group build_consensus on both the
+    native and the batched device backends (incl. empty and 1-read
+    groups)."""
+    from tpu_orc.cluster import consensus as C
+
+    rng = np.random.default_rng(22)
+    groups = [[]]
+    for L, R in ((150, 1), (260, 9), (90, 40)):
+        base = rng.integers(0, 4, size=L).astype(np.uint8)
+        groups.append(_mutate_reads(rng, base, R))
+    expect = [C.build_consensus(g) for g in groups]
+    for backend in ("native", "device"):
+        monkeypatch.setattr(C, "PILEUP_BACKEND", backend)
+        got = C.build_consensus_multi(groups)
+        for e, g in zip(expect, got):
+            assert (np.asarray(e) == np.asarray(g)).all(), backend
+
+
+def test_engine_sort_device_backend_identical(monkeypatch):
+    """Full sort with the batched device consensus == native backend:
+    identical species groups and consensus strings."""
+    from tpu_orc.cluster import consensus as C
+    from tpu_orc.cluster.engine import AmpliconSorter, SorterConfig
+    from tpu_orc.io.fastq import Record
+
+    rng = np.random.default_rng(23)
+    t1 = "".join("ACGT"[c] for c in rng.integers(0, 4, 320))
+    t2 = "".join("ACGT"[c] for c in rng.integers(0, 4, 340))
+    recs = []
+    for k, t in enumerate((t1, t2)):
+        for i in range(30):
+            s = list(t)
+            for _ in range(int(rng.integers(0, 12))):
+                p = int(rng.integers(0, len(s)))
+                s[p] = "ACGT"[int(rng.integers(0, 4))]
+            recs.append(Record(f"r{k}_{i}", f"r{k}_{i}", "".join(s)))
+    results = {}
+    for backend in ("native", "device"):
+        monkeypatch.setattr(C, "PILEUP_BACKEND", backend)
+        eng = AmpliconSorter(SorterConfig(min_length=1, seed=5))
+        res = eng.sort_records(recs)
+        results[backend] = [
+            (tuple(sorted(g.members)), g.consensus)
+            for gg in res.species for g in gg]
+    assert results["native"] == results["device"]

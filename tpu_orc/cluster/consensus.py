@@ -17,7 +17,7 @@ ACGT/N, so literal code comparison is equivalent.
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -211,6 +211,83 @@ def build_consensus(read_codes: Sequence[np.ndarray],
                                  want_ambiguity=False)[0]
 
 
+def _entries_from_counts(counts: np.ndarray, c: int, thr: float):
+    """One consensus pass from pileup counts: top-2 extraction, 10%
+    support keep, homopolymersort, threshold cut. Returns
+    (entries, new consensus codes)."""
+    tb, tc = top2_from_counts(counts)
+    keep = (tb[:, 0] >= 0) & (tc[:, 0] > c * 0.10)
+    entries = [(int(b0), int(c0), int(b1), int(c1))
+               for b0, c0, b1, c1 in zip(tb[keep, 0], tc[keep, 0],
+                                         tb[keep, 1], tc[keep, 1])]
+    entries = _homopolymersort(entries)
+    consensus = np.asarray([e[0] for e in entries if e[1] > c * thr],
+                           dtype=np.uint8)
+    return entries, consensus
+
+
+def pileup_counts_multi(drafts: Sequence[np.ndarray],
+                        reads_groups: Sequence[Sequence[np.ndarray]],
+                        backend: str = "native") -> List[np.ndarray]:
+    """Per-group pileup counts; with backend='device' ALL groups run in
+    ONE kernel launch (align/pallas_pileup.py path_bits_groups — the
+    ROADMAP 'batched multi-group device consensus' debt), paying one
+    dispatch+fetch round trip per ladder pass instead of one per group.
+    Other backends (and zero-read groups) route through pileup_counts
+    per group. Output parity with per-group calls is tested."""
+    G = len(drafts)
+    out: List[Optional[np.ndarray]] = [None] * G
+    live = [g for g in range(G) if len(reads_groups[g]) > 0]
+    if backend == "device" and len(live) > 1:
+        import jax
+
+        from ..align.pallas_pileup import path_bits_groups
+        dl = [np.asarray(drafts[g], np.uint8) for g in live]
+        rl = [[np.ascontiguousarray(q, np.uint8) for q in reads_groups[g]]
+              for g in live]
+        planes_l = path_bits_groups(
+            dl, rl, interpret=jax.default_backend() == "cpu")
+        for g, planes, d, rs in zip(live, planes_l, dl, rl):
+            out[g] = native.pileup_from_bits(planes, rs, d).astype(
+                np.int64)
+    for g in range(G):
+        if out[g] is None:
+            out[g] = pileup_counts(np.asarray(drafts[g], np.uint8),
+                                   reads_groups[g], backend=backend)
+    return out  # type: ignore[return-value]
+
+
+def build_consensus_multi(groups_codes: Sequence[Sequence[np.ndarray]],
+                          thresholds=(0.45, 0.15, 0.5)
+                          ) -> List[np.ndarray]:
+    """build_consensus for MANY groups with each of the three passes
+    batched into one device dispatch (pileup_counts_multi). Per-group
+    results are identical to build_consensus (parity-tested); the
+    per-pass batching is valid because groups are independent — only
+    passes are sequential."""
+    G = len(groups_codes)
+    rls = [sorted(g, key=len, reverse=True) for g in groups_codes]
+    cons = [np.asarray(rl[0], np.uint8) if rl else
+            np.zeros(0, np.uint8) for rl in rls]
+    entries_g: List[List[Tuple[int, int, int, int]]] = [
+        [] for _ in range(G)]
+    live = [g for g in range(G) if rls[g]]
+    for pi, thr in enumerate(thresholds):
+        reads_g = {g: (rls[g][1:] if pi == 0 else rls[g]) for g in live}
+        for g in live:
+            if len(cons[g]) == 0:
+                cons[g] = np.asarray(rls[g][0], np.uint8)
+        counts_l = pileup_counts_multi([cons[g] for g in live],
+                                       [reads_g[g] for g in live],
+                                       backend=PILEUP_BACKEND)
+        for g, counts in zip(live, counts_l):
+            entries_g[g], cons[g] = _entries_from_counts(
+                counts, len(reads_g[g]) + 1, thr)
+    return [_decay_tail(entries_g[g], len(rls[g]) + 1, thresholds[-1],
+                        False)[0] if rls[g] else np.zeros(0, np.uint8)
+            for g in range(G)]
+
+
 def _build_consensus_impl(read_codes: Sequence[np.ndarray],
                           thresholds=(0.45, 0.15, 0.5),
                           want_ambiguity: bool = False):
@@ -226,16 +303,14 @@ def _build_consensus_impl(read_codes: Sequence[np.ndarray],
             consensus = np.asarray(rl[0], dtype=np.uint8)
         counts = pileup_counts(consensus, reads, backend=PILEUP_BACKEND)
         c = len(reads) + 1  # rows incl. draft (reference counts it too)
-        tb, tc = top2_from_counts(counts)
-        keep = (tb[:, 0] >= 0) & (tc[:, 0] > c * 0.10)
-        entries = [(int(b0), int(c0), int(b1), int(c1))
-                   for b0, c0, b1, c1 in zip(tb[keep, 0], tc[keep, 0],
-                                             tb[keep, 1], tc[keep, 1])]
-        entries = _homopolymersort(entries)
-        consensus = np.asarray([e[0] for e in entries if e[1] > c * thr],
-                               dtype=np.uint8)
-    # final homopolymer decay correction (:398-427), threshold = last (0.5)
-    thr = thresholds[-1]
+        entries, consensus = _entries_from_counts(counts, c, thr)
+    return _decay_tail(entries, len(rl) + 1, thresholds[-1],
+                       want_ambiguity)
+
+
+def _decay_tail(entries, c: int, thr: float, want_ambiguity: bool):
+    """Final homopolymer decay correction (:398-427) over the last
+    pass's entries; threshold = last (0.5)."""
     out: List[int] = []
     amb: List[tuple] = []  # (base, top2_base, is_ambiguous) per kept column
     b = 1

@@ -31,8 +31,9 @@ import numpy as np
 from .. import native
 from ..io import encode
 from ..io.fastq import Record
+from . import consensus as _consensus_mod
 from .consensus import (build_consensus, build_consensus_iupac,
-                        consensus_direction)
+                        build_consensus_multi, consensus_direction)
 from .scoring import DeviceScorer, PairHits
 from .unionfind import UnionFind
 
@@ -193,15 +194,42 @@ class AmpliconSorter:
         return [c for c in uf.components(sorted(touched)) if len(c) > 1]
 
     # ------------------------------------------------------------------
-    def _group_consensus(self, members: Sequence[int], sample_n: int) -> str:
+    def _sample_members(self, members: Sequence[int],
+                        sample_n: int) -> List[int]:
+        """Deterministic <=sample_n member subsample (the reference's
+        random.sample at :1238/:1435/:1792, seeded)."""
         mem = list(members)
         if len(mem) > sample_n:
             mem = sorted(self.rng.choice(len(mem), sample_n, replace=False))
             mem = [members[k] for k in mem]
+        return mem
+
+    def _group_consensus(self, members: Sequence[int], sample_n: int) -> str:
+        mem = self._sample_members(members, sample_n)
         codes = consensus_direction([self.codes[i] for i in mem])
         if self.cfg.ambiguous:
             return build_consensus_iupac(codes)
         return encode.decode(build_consensus(codes))
+
+    def _group_consensus_multi(self, member_lists: Sequence[Sequence[int]],
+                               sample_n: int) -> List[str]:
+        """Batched _group_consensus over many groups: with the device
+        pileup backend every consensus pass becomes ONE kernel launch
+        for all groups (build_consensus_multi / path_bits_groups), so a
+        ladder step's dirty-group rebuild pays 3 dispatch round trips
+        instead of 3*G. Samples members in list order, consuming the
+        engine RNG exactly as the sequential loop would (byte-identical
+        output on every backend)."""
+        if (_consensus_mod.PILEUP_BACKEND != "device"
+                or self.cfg.ambiguous or len(member_lists) <= 1):
+            return [self._group_consensus(m, sample_n)
+                    for m in member_lists]
+        groups_codes = [
+            consensus_direction(
+                [self.codes[i] for i in self._sample_members(m, sample_n)])
+            for m in member_lists]
+        return [encode.decode(c)
+                for c in build_consensus_multi(groups_codes)]
 
     def _hw_sim(self, a: str, b: str) -> float:
         """Reference distance(a, b, 'HW') incl. fwd/rc max
@@ -242,7 +270,7 @@ class AmpliconSorter:
             prev = len(groups)
             if len(groups) <= 1:
                 break
-            cons = [self._group_consensus(g, 50) for g in groups]
+            cons = self._group_consensus_multi(groups, 50)
             uf = UnionFind(len(groups))
             pairs = [(a, b)
                      for a in range(len(groups) - 1)
@@ -277,9 +305,10 @@ class AmpliconSorter:
             uf.union(i, j)
             touched.update((i, j))
         comps = [c for c in uf.components(sorted(touched)) if len(c) > 3]
+        comp_cons = self._group_consensus_multi(comps, 100)
         groups: List[Dict] = [
-            {"members": list(c), "consensus": self._group_consensus(c, 100)}
-            for c in comps]
+            {"members": list(c), "consensus": cc}
+            for c, cc in zip(comps, comp_cons)]
         if not groups:
             return []
 
@@ -333,9 +362,12 @@ class AmpliconSorter:
         return added
 
     def _rebuild_consensuses(self, groups):
-        for g in groups:
-            if g.pop("_dirty", False):
-                g["consensus"] = self._group_consensus(g["members"], 200)
+        dirty = [g for g in groups if g.pop("_dirty", False)]
+        if dirty:
+            cons = self._group_consensus_multi(
+                [g["members"] for g in dirty], 200)
+            for g, c in zip(dirty, cons):
+                g["consensus"] = c
 
     def _compare_consensus(self, groups, ldc: float, max_cycles: int = 3):
         """compare_consensus (:1840-1960): merge groups whose consensuses
@@ -360,14 +392,12 @@ class AmpliconSorter:
                     merged_any = True
             if not merged_any:
                 return
-            newg = []
-            for comp in uf.components():
-                members = sorted(sum((groups[k]["members"] for k in comp),
-                                     []))
-                newg.append({"members": members,
-                             "consensus": self._group_consensus(members,
-                                                                200)})
-            groups[:] = newg
+            mlists = [sorted(sum((groups[k]["members"] for k in comp), []))
+                      for comp in uf.components()]
+            groups[:] = [{"members": m, "consensus": c}
+                         for m, c in zip(mlists,
+                                         self._group_consensus_multi(
+                                             mlists, 200))]
 
     # ------------------------------------------------------------------
     def _finetune(self, groups):

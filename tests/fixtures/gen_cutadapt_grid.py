@@ -503,6 +503,43 @@ def main():
          "expect": {"untrimmed": False, "trimmed": mid}},
     ])
 
+    # ---- family I (round 3): fwd/rc tie semantics + linked edges
+    # read = A10 + pad + revcomp(A10): forward scores 10 via the planted
+    # A10; revcomp(read) = A10 + revcomp(pad) + revcomp(A10) also scores
+    # exactly 10 (revcomp segments contain G's which never match the
+    # {A,C,T} adapters, so neither orientation can exceed 10). --rc
+    # requires STRICTLY more matches -> forward wins the tie.
+    case("rc_equal_matches_forward_wins",
+         "forward and rc orientations both score a full exact 10-match "
+         "occurrence: tie -> forward kept (--rc needs strictly more)",
+         "front", [["A1", A10]], A10 + GT(6) + revcomp(A10),
+         {"adapter": "A1", "rc": False,
+          "trimmed": GT(6) + revcomp(A10)}, rc=True)
+    # forward partial (6nt exact suffix) vs rc full exact occurrence:
+    # rc has 10 > 6 matches -> rc wins even though forward matched.
+    case("rc_more_matches_beats_forward_partial",
+         "forward holds a 6nt exact adapter suffix, rc orientation a "
+         "full exact occurrence: 10 > 6 -> rc wins",
+         "front", [["A1", A10]],
+         revcomp(GT(3) + A10 + GT(9)) + A10[-6:] + GT(2),
+         {"adapter": "A1", "rc": True, "trimmed": GT(9)}, rc=True)
+
+    LINKED.extend([
+        {"name": "linked_rev_below_min_overlap",
+         "desc": "REV occurs only as its first 2nt at the read end "
+                 "(< min_overlap 3) -> linked match fails, untrimmed",
+         "fwd": FWD, "rev": REV, "e": 0.1,
+         "read": GT(4) + FWD + mid + REV[:2],
+         "expect": {"untrimmed": True}},
+        {"name": "linked_rev_before_fwd",
+         "desc": "both adapters exact but REV precedes FWD: the FRONT "
+                 "half consumes through FWD, no REV remains -> "
+                 "untrimmed (linked order is mandatory)",
+         "fwd": FWD, "rev": REV, "e": 0.1,
+         "read": GT(4) + REV + GT(5) + FWD + GT(6),
+         "expect": {"untrimmed": True}},
+    ])
+
     # ---- cross-check every constructed expectation with the mini DP
     for c in CASES:
         name, is_rc, trimmed = mini_assign(

@@ -34,10 +34,25 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 os.environ["ORC_THREADS"] = "1"  # single-core CPU baseline, pinned
 
+import sys
+
 import numpy as np
 
-DEVICE_REPS = 7
+DEVICE_REPS = int(os.environ.get("ORC_BENCH_REPS", "7"))
 CPU_WINDOW_S = 2.0
+# Soft wall-clock budget: once exceeded, device sections stop after
+# >= 3 reps (min-of-k stays valid) instead of risking a driver timeout
+# that records nothing. The relay tunnel has hour-scale bad phases where
+# identical dispatches take 3-5x their min (BENCH.md).
+BUDGET_S = float(os.environ.get("ORC_BENCH_BUDGET_S", "900"))
+_T0 = time.perf_counter()
+
+
+def note(msg: str) -> None:
+    """Progress marker on stderr (the JSON contract owns stdout) so a
+    stalled driver run shows WHERE the tunnel is stuck."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def best_time(fn, reps: int = DEVICE_REPS):
@@ -51,10 +66,15 @@ def best_time(fn, reps: int = DEVICE_REPS):
     median and dispersion are reported alongside so service noise stays
     visible."""
     ts = []
-    for _ in range(reps):
+    for r in range(reps):
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
+        note(f"  rep {r + 1}/{reps}: {ts[-1]:.2f}s")
+        if (len(ts) >= 3 and time.perf_counter() - _T0 > BUDGET_S):
+            note(f"  soft budget {BUDGET_S:.0f}s exceeded — stopping "
+                 f"after {len(ts)} reps")
+            break
     med = float(np.median(ts))
     disp = (max(ts) - min(ts)) / med if med > 0 else 0.0
     return float(min(ts)), med, disp
@@ -107,7 +127,9 @@ def main():
     # including host packing and vectorized output materialization
     fd = FusedDemux(sp5, sp27)
     device_round = lambda: fd.assign(recs, batch_size=B)
+    note("demux: warmup/compile ...")
     device_round()  # warmup/compile
+    note("demux: timed reps")
     t_dev, med_dev, disp_dev = best_time(device_round)
     tpu_rps = B / t_dev
 
@@ -124,6 +146,7 @@ def main():
         native.locate_batch(ref_masks5, qm, 0.1, int(FRONT), nthreads=1)
         native.locate_batch(ref_masks27, qm, 0.1, int(BACK), nthreads=1)
 
+    note("demux: CPU baseline window")
     t_cpu, n_iter = cpu_window(cpu_demux)
     cpu_rps = (n_iter * n_cpu / 2) / t_cpu  # fwd+rc pairs, both rounds
 
@@ -152,7 +175,9 @@ def main():
         from tpu_orc.align.pallas_myers import distances_pallas
         tile_fn = lambda: distances_pallas(pat, lens, pat, lens, "NW",
                                            fetch_pos=False)
+    note("cluster: tile warmup/compile ...")
     tile_fn()  # compile
+    note("cluster: timed reps")
     t_tile, med_tile, disp_tile = best_time(tile_fn)
     cells = float(N) * N * np.mean(lens) * np.mean(lens)
     tpu_cells = cells / t_tile
@@ -165,6 +190,7 @@ def main():
     def cpu_aa():
         D[0] = native.all_vs_all(fam[:K], band=0.0, nthreads=1)
 
+    note("cluster: CPU baseline window")
     t_cpu_aa, n_aa = cpu_window(cpu_aa)
     n_cpu_pairs = int((D[0] >= 0).sum()) * n_aa
     cpu_cells = float(n_cpu_pairs) * np.mean(lens) ** 2 / t_cpu_aa
@@ -201,7 +227,9 @@ def main():
         sres[0] = AmpliconSorter(
             SorterConfig(min_length=300, seed=7)).sort_records(srecs)
 
+    note("sort e2e: warmup/compile ...")
     sort_once()  # warm/compile
+    note("sort e2e: timed reps")
     t_sort, med_sort, disp_sort = best_time(sort_once, reps=3)
     n_species = sum(len(g) for g in sres[0].species)
 

@@ -94,6 +94,36 @@ def cpu_window(fn, min_s: float = CPU_WINDOW_S, max_iters: int = 1000):
             return el, n
 
 
+WARMUP_TIMEOUT_S = float(os.environ.get("ORC_WARMUP_TIMEOUT_S", "600"))
+
+
+def guarded_warmup(section: str) -> bool:
+    """Compile this section's device program in a BOUNDED child process.
+
+    The axon service compiles Mosaic kernels server-side with a
+    cross-process cache, so a successful child warm makes the parent's
+    own compile take seconds. A wedged compile RPC (observed: blocks
+    forever while trivial ops answer in 74 ms) then costs the child its
+    timeout instead of wedging the whole bench — the parent falls back
+    to the labeled XLA/native variant and still records numbers."""
+    import subprocess
+    note(f"{section}: guarded warmup (child, <= {WARMUP_TIMEOUT_S:.0f}s)")
+    t0 = time.perf_counter()
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--warmup-only", section],
+            timeout=WARMUP_TIMEOUT_S, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL)
+        ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    note(f"{section}: guarded warmup "
+         f"{'ok' if ok else 'TIMED OUT / FAILED'} "
+         f"({time.perf_counter() - t0:.0f}s)")
+    return ok
+
+
 def main():
     import jax
     from tpu_orc.demux.adapters import AdapterBank
@@ -103,6 +133,15 @@ def main():
     from tpu_orc.io import encode
     from tpu_orc.io.fastq import Record
     from tpu_orc import native
+
+    # --warmup-only SECTION: child mode for guarded_warmup — build the
+    # same inputs (identical shapes/rng draws), run that section's
+    # device warmup ONCE, exit 0. No timing, no JSON.
+    warm = None
+    if len(sys.argv) >= 3 and sys.argv[1] == "--warmup-only":
+        warm = sys.argv[2]
+    on_accel = None  # resolved after first jax call below
+    fallbacks = []
 
     REF = "/root/reference/adapters_primers"
     sp5 = AdapterBank.from_fasta(f"{REF}/M13_amplicon_indices_forward.fa",
@@ -125,30 +164,54 @@ def main():
     # --- device: fused dual-round demux (2-bit packed upload; rc,
     # round-1 FRONT, on-device trim, round-2 BACK in one device program),
     # including host packing and vectorized output materialization
+    # Production path: 2048-read pipelined chunks (dual_round_demux's
+    # choice — all chunks dispatch before any fetch, host materialize
+    # overlaps device compute; measured 535 ms vs 1098 ms monolithic).
+    CHUNK = 2048
     fd = FusedDemux(sp5, sp27)
-    device_round = lambda: fd.assign(recs, batch_size=B)
-    note("demux: warmup/compile ...")
-    device_round()  # warmup/compile
-    note("demux: timed reps")
-    t_dev, med_dev, disp_dev = best_time(device_round)
-    tpu_rps = B / t_dev
+    on_accel = jax.default_backend() not in ("cpu",)
+    if warm == "demux":
+        fd.assign(recs[:CHUNK], batch_size=CHUNK)
+        return
+    demux_backend = "fused-pallas"
+    if warm is None:
+        if not on_accel or guarded_warmup("demux"):
+            device_round = lambda: fd.assign(recs, batch_size=CHUNK)
+            note("demux: warmup/compile ...")
+            device_round()  # warmup/compile
+        else:
+            # wedged compile service: measure the bit-identical unfused
+            # XLA path instead (TPU_ORC_NO_PALLAS escape hatch)
+            os.environ["TPU_ORC_NO_PALLAS"] = "1"
+            from tpu_orc.demux.demux import _decisions_unfused
+            demux_backend = "xla-unfused-fallback"
+            fallbacks.append("demux")
+            device_round = lambda: _decisions_unfused(recs, sp5, sp27,
+                                                      CHUNK)
+            note("demux: XLA fallback warmup ...")
+            device_round()
+        note("demux: timed reps")
+        t_dev, med_dev, disp_dev = best_time(device_round)
+        tpu_rps = B / t_dev
 
-    # --- CPU baseline: identical semantics via the C++ oracle, >= 2 s
-    # window (adaptive iteration count)
-    ref_masks5 = [encode.encode_ref_masks(s) for s in sp5.seqs]
-    ref_masks27 = [encode.encode_ref_masks(s) for s in sp27.seqs]
-    n_cpu = 256
-    cpu_reads = reads[:n_cpu // 2]
-    cpu_reads = cpu_reads + [encode.revcomp(s) for s in cpu_reads]
-    qm = [encode.encode_read_masks(s) for s in cpu_reads]
+        # --- CPU baseline: identical semantics via the C++ oracle,
+        # >= 2 s window (adaptive iteration count)
+        ref_masks5 = [encode.encode_ref_masks(s) for s in sp5.seqs]
+        ref_masks27 = [encode.encode_ref_masks(s) for s in sp27.seqs]
+        n_cpu = 256
+        cpu_reads = reads[:n_cpu // 2]
+        cpu_reads = cpu_reads + [encode.revcomp(s) for s in cpu_reads]
+        qm = [encode.encode_read_masks(s) for s in cpu_reads]
 
-    def cpu_demux():
-        native.locate_batch(ref_masks5, qm, 0.1, int(FRONT), nthreads=1)
-        native.locate_batch(ref_masks27, qm, 0.1, int(BACK), nthreads=1)
+        def cpu_demux():
+            native.locate_batch(ref_masks5, qm, 0.1, int(FRONT),
+                                nthreads=1)
+            native.locate_batch(ref_masks27, qm, 0.1, int(BACK),
+                                nthreads=1)
 
-    note("demux: CPU baseline window")
-    t_cpu, n_iter = cpu_window(cpu_demux)
-    cpu_rps = (n_iter * n_cpu / 2) / t_cpu  # fwd+rc pairs, both rounds
+        note("demux: CPU baseline window")
+        t_cpu, n_iter = cpu_window(cpu_demux)
+        cpu_rps = (n_iter * n_cpu / 2) / t_cpu  # fwd+rc, both rounds
 
     # --- clustering: device Myers all-vs-all tile vs C++ Myers
     # (1024 reads ~ the reference's 1000-read all-vs-all blocks,
@@ -166,34 +229,45 @@ def main():
     for i, c in enumerate(fam):
         pat[i, :len(c)] = c
         lens[i] = len(c)
+    cluster_backend = "pallas"
     if jax.default_backend() == "cpu":
         tile_fn = lambda: np.asarray(
             myers.distances(pat, lens, pat, lens))
+        cluster_backend = "xla-cpu"
     else:  # production scorer path: Pallas kernel, auto-tuned tiles
         # (fetch_pos=False: the NW scorer never reads the position
         # matrix — matches cluster/scoring.py)
         from tpu_orc.align.pallas_myers import distances_pallas
         tile_fn = lambda: distances_pallas(pat, lens, pat, lens, "NW",
                                            fetch_pos=False)
-    note("cluster: tile warmup/compile ...")
-    tile_fn()  # compile
-    note("cluster: timed reps")
-    t_tile, med_tile, disp_tile = best_time(tile_fn)
-    cells = float(N) * N * np.mean(lens) * np.mean(lens)
-    tpu_cells = cells / t_tile
-    tpu_pairs = N * N / t_tile
+    if warm == "cluster":
+        tile_fn()
+        return
+    if warm is None:
+        if cluster_backend == "pallas" and not guarded_warmup("cluster"):
+            tile_fn = lambda: np.asarray(
+                myers.distances(pat, lens, pat, lens))
+            cluster_backend = "xla-fallback"
+            fallbacks.append("cluster")
+        note("cluster: tile warmup/compile ...")
+        tile_fn()  # compile
+        note("cluster: timed reps")
+        t_tile, med_tile, disp_tile = best_time(tile_fn)
+        cells = float(N) * N * np.mean(lens) * np.mean(lens)
+        tpu_cells = cells / t_tile
+        tpu_pairs = N * N / t_tile
 
-    # CPU all-vs-all on a block large enough for a >= 2 s window
-    K = 192  # 18336 pairs x ~230 kcells ~ 4.2 Gcells ~ 0.3 s/iter
-    D = [None]
+        # CPU all-vs-all on a block large enough for a >= 2 s window
+        K = 192  # 18336 pairs x ~230 kcells ~ 4.2 Gcells ~ 0.3 s/iter
+        D = [None]
 
-    def cpu_aa():
-        D[0] = native.all_vs_all(fam[:K], band=0.0, nthreads=1)
+        def cpu_aa():
+            D[0] = native.all_vs_all(fam[:K], band=0.0, nthreads=1)
 
-    note("cluster: CPU baseline window")
-    t_cpu_aa, n_aa = cpu_window(cpu_aa)
-    n_cpu_pairs = int((D[0] >= 0).sum()) * n_aa
-    cpu_cells = float(n_cpu_pairs) * np.mean(lens) ** 2 / t_cpu_aa
+        note("cluster: CPU baseline window")
+        t_cpu_aa, n_aa = cpu_window(cpu_aa)
+        n_cpu_pairs = int((D[0] >= 0).sum()) * n_aa
+        cpu_cells = float(n_cpu_pairs) * np.mean(lens) ** 2 / t_cpu_aa
 
     # --- clustering end-to-end: full engine on one 1000-read 2-species
     # bin (the reference's SLURM-array unit of work)
@@ -223,10 +297,23 @@ def main():
     random.shuffle(srecs)
     sres = [None]
 
-    def sort_once():
-        sres[0] = AmpliconSorter(
-            SorterConfig(min_length=300, seed=7)).sort_records(srecs)
+    sort_scorer = [None]  # None = engine default (pallas on accel)
 
+    def sort_once():
+        from tpu_orc.cluster.scoring import DeviceScorer
+        cfg = SorterConfig(min_length=300, seed=7)
+        scorer = (DeviceScorer(tile=cfg.tile, backend="native")
+                  if sort_scorer[0] == "native" else None)
+        sres[0] = AmpliconSorter(cfg, scorer=scorer).sort_records(srecs)
+
+    if warm == "sort":
+        sort_once()
+        return
+    sort_backend = "pallas-engine"
+    if on_accel and not guarded_warmup("sort"):
+        sort_scorer[0] = "native"  # host C++ scoring, no device compiles
+        sort_backend = "native-fallback"
+        fallbacks.append("sort")
     note("sort e2e: warmup/compile ...")
     sort_once()  # warm/compile
     note("sort e2e: timed reps")
@@ -268,6 +355,10 @@ def main():
             "sort_median_s": round(med_sort, 2),
             "sort_dispersion": round(disp_sort, 3),
             "sort_species_found": n_species,
+            "demux_backend": demux_backend,
+            "cluster_backend": cluster_backend,
+            "sort_backend": sort_backend,
+            "compile_fallbacks": fallbacks,
         },
     }
     print(json.dumps(out))

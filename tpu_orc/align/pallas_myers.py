@@ -65,6 +65,7 @@ def _kernel(mode, W, TI, TJ, N, unroll,
     hin0 = 0 if mode == "HW" else 1
     ones = jnp.full((TI, TJ), 0xFFFFFFFF, dtype=jnp.uint32)
     zeros32 = jnp.zeros((TI, TJ), jnp.uint32)
+    ones1 = jnp.full((TI, TJ), 1, dtype=jnp.uint32)
     k = pl.program_id(chunk_dim) if chunked else 0
     base = k * N                                     # global text offset
     m = mlen_ref[:, 0][:, None]                      # [TI, 1] int32
@@ -88,44 +89,51 @@ def _kernel(mode, W, TI, TJ, N, unroll,
     def col(j, _):
         c = texts_ref[j, :][None, :]                 # [1, TJ] int32
         valid = (base + j + 1) <= nl                 # [1, TJ] bool
+        # char-match masks are word-invariant: compare once per column
+        cmps = [c == ch for ch in range(5)]
 
         def word(w, carry):
-            hin, sc = carry
+            # hp/hm carry the horizontal +1/-1 delta as uint32 bit
+            # planes (Ph and Mh bits are mutually exclusive, so the
+            # int32 hin of the textbook formulation is redundant);
+            # phw/mhw collect the pre-shift Ph/Mh of the word holding
+            # bit (m-1) so the variable-shift score update runs ONCE
+            # per column after the loop instead of per word.
+            hp, hm, phw, mhw = carry
             eq = zeros32
             for ch in range(5):
                 colv = peq_ref[:, w * NCHAN + ch][:, None]   # [TI, 1]
-                eq = jnp.where(c == ch, colv, eq)
-            hin_neg = (hin < 0).astype(jnp.uint32)
-            hin_pos = (hin > 0).astype(jnp.uint32)
+                eq = jnp.where(cmps[ch], colv, eq)
             Pv = vp[w]
             Mv = vn[w]
             Xv = eq | Mv
-            Eq_ = eq | hin_neg
+            Eq_ = eq | hm
             Xh = (((Eq_ & Pv) + Pv) ^ Pv) | Eq_
             Ph = Mv | ~(Xh | Pv)
             Mh = Pv & Xh
             at_m = w_idx == w
-            d_at_m = (((Ph >> r_idx) & 1).astype(jnp.int32)
-                      - ((Mh >> r_idx) & 1).astype(jnp.int32))
-            sc = sc + jnp.where(at_m & valid, d_at_m, 0)
-            hout = (((Ph >> 31) & 1).astype(jnp.int32)
-                    - ((Mh >> 31) & 1).astype(jnp.int32))
-            Ph = (Ph << 1) | hin_pos
-            Mh = (Mh << 1) | hin_neg
+            phw = jnp.where(at_m, Ph, phw)
+            mhw = jnp.where(at_m, Mh, mhw)
+            hp_o = Ph >> 31                          # top bit, already 0/1
+            hm_o = Mh >> 31
+            Ph = (Ph << 1) | hp
+            Mh = (Mh << 1) | hm
             vp[w] = Mh | ~(Xv | Ph)
             vn[w] = Ph & Xv
-            return hout, sc
+            return hp_o, hm_o, phw, mhw
 
-        hin0v = jnp.full((TI, TJ), hin0, jnp.int32)
+        carry = (ones1 if hin0 else zeros32, zeros32, zeros32, zeros32)
         if unroll:
             # static word indices -> static scratch addressing, lets
             # Mosaic software-pipeline the hin carry chain
-            carry = (hin0v, score[:, :])
             for w in range(W):
                 carry = word(w, carry)
-            sc = carry[1]
         else:
-            _, sc = jax.lax.fori_loop(0, W, word, (hin0v, score[:, :]))
+            carry = jax.lax.fori_loop(0, W, word, carry)
+        _, _, phw, mhw = carry
+        d_at_m = (((phw >> r_idx) & 1).astype(jnp.int32)
+                  - ((mhw >> r_idx) & 1).astype(jnp.int32))
+        sc = score[:, :] + jnp.where(valid, d_at_m, 0)
         score[:, :] = sc
         if mode != "NW":
             improved = valid & (sc < best[:, :])

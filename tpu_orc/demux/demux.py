@@ -275,30 +275,34 @@ def materialize_decision(rec: Record, sp5_names, sp27_names, idx1: int,
 
 
 def materialize_batch(records: Sequence[Record], sp5_names, sp27_names,
-                      idx1, rc1, qe1, idx2, rc2, qs2) -> List[tuple]:
+                      idx1, rc1, qe1, idx2, rc2, qs2,
+                      amat=None, lens=None) -> List[tuple]:
     """Vectorized host realization of a batch of dual-round decisions —
     numpy equivalent of calling ``materialize_decision`` per read (parity
     asserted by tests/test_fused.py). Per-read Python is reduced to
     Record construction; all trimming/rc/reversal runs as [B, L] gathers
     (the per-read string slicing was ~0.2 s per 8192-read batch,
-    BENCH.md debt).
+    BENCH.md debt). Callers that already packed the sequences for the
+    device upload pass (amat, lens) to skip the re-pack; all index math
+    is int32 and in-place to keep temp traffic off the 2-core host.
 
     Returns per read: (sp5_name|None, trimmed1 Record, sp27_name|None,
     final Record).
     """
     idx1 = np.asarray(idx1)
     rc1 = np.asarray(rc1).astype(bool) & (idx1 >= 0)
-    qe1 = np.where(idx1 >= 0, np.asarray(qe1), 0)
+    qe1 = np.where(idx1 >= 0, np.asarray(qe1), 0).astype(np.int32)
     idx2 = np.asarray(idx2)
     rc2 = np.asarray(rc2).astype(bool) & (idx2 >= 0)
-    qs2 = np.maximum(np.asarray(qs2), 0)
+    qs2 = np.maximum(np.asarray(qs2), 0).astype(np.int32)
 
-    seqs = [r.seq for r in records]
-    amat, lens = encode.ascii_matrix(seqs)
+    if amat is None:
+        amat, lens = encode.ascii_matrix([r.seq for r in records])
+    lens = np.asarray(lens, np.int32)
     quals = [r.qual for r in records]
     have_q = all(q is not None for q in quals)
     if have_q:
-        qmat, _ = encode.ascii_matrix(quals)
+        qmat, _ = encode.ascii_matrix(quals, max_len=amat.shape[1])
 
     # Composed index maps — ONE gather per output matrix instead of a
     # revcomp/shift gather chain. trimmed1[j] = comp^rc1(seq[src1]),
@@ -306,66 +310,88 @@ def materialize_batch(records: Sequence[Record], sp5_names, sp27_names,
     #   round 1: j -> oriented k = j + qe1 -> source rc1 ? lens-1-k : k
     #   round 2: j -> t1 index a = rc2 ? len1-1-j : j, then round-1 map.
     B, L = amat.shape
-    rows = np.arange(B)[:, None]
-    j = np.arange(L)[None, :]
+    j = np.arange(L, dtype=np.int32)[None, :]
     len1 = lens - qe1
     flen = np.where(idx2 >= 0, np.minimum(qs2, len1), len1)
     last = (lens - 1)[:, None]
+    rc1c = rc1[:, None]
     k1 = j + qe1[:, None]
-    src1 = np.where(rc1[:, None], last - k1, k1)
+    src1 = np.where(rc1c, last - k1, k1)
     np.clip(src1, 0, L - 1, out=src1)
-    a = np.where(rc2[:, None], (len1 - 1)[:, None] - j, j)
-    k2 = a + qe1[:, None]
-    src2 = np.where(rc1[:, None], last - k2, k2)
+    k2 = np.where(rc2[:, None], (len1 - 1)[:, None] - j, j)
+    k2 += qe1[:, None]
+    src2 = np.where(rc1c, last - k2, k2)
     np.clip(src2, 0, L - 1, out=src2)
     v1 = j < len1[:, None]
     v2 = j < flen[:, None]
     comp = encode._COMP_TAB
-    t1 = amat[rows, src1]
-    t1 = np.where(v1, np.where(rc1[:, None], comp[t1], t1), np.uint8(0))
-    fin = amat[rows, src2]
-    cboth = (rc1 ^ rc2)[:, None]
-    fin = np.where(v2, np.where(cboth, comp[fin], fin), np.uint8(0))
+    t1 = np.take_along_axis(amat, src1, axis=1)
+    # complement only the rc rows (half the batch in mixed input)
+    rrows = np.flatnonzero(rc1)
+    t1[rrows] = comp[t1[rrows]]
+    t1 *= v1
+    fin = np.take_along_axis(amat, src2, axis=1)
+    crows = np.flatnonzero(rc1 ^ rc2)
+    fin[crows] = comp[fin[crows]]
+    fin *= v2
     if have_q:
-        q1 = np.where(v1, qmat[rows, src1], np.uint8(0))
-        q2 = np.where(v2, qmat[rows, src2], np.uint8(0))
+        q1 = np.take_along_axis(qmat, src1, axis=1)
+        q1 *= v1
+        q2 = np.take_along_axis(qmat, src2, axis=1)
+        q2 *= v2
 
-    t1b = t1.tobytes()
-    s2b = fin.tobytes()
+    # one decode per matrix; python string slicing per read (latin-1 is
+    # the 1:1 byte->char codec, inputs are ASCII)
+    t1s = t1.tobytes().decode("latin-1")
+    fins = fin.tobytes().decode("latin-1")
     if have_q:
-        q1b = q1.tobytes()
-        q2b = q2.tobytes()
+        q1s = q1.tobytes().decode("latin-1")
+        q2s = q2.tobytes().decode("latin-1")
+    i1l = idx1.tolist()
+    i2l = idx2.tolist()
+    rc1l = rc1.tolist()
+    rc2l = rc2.tolist()
+    qe1l = qe1.tolist()
+    len1l = len1.tolist()
+    flenl = flen.tolist()
     out: List[tuple] = []
     for i, rec in enumerate(records):
-        if idx1[i] < 0:
+        ii1 = i1l[i]
+        if ii1 < 0:
             out.append((None, rec, None, rec))
             continue
-        desc = rec.desc + " rc" if rc1[i] else rec.desc
+        r1 = rc1l[i]
+        desc = rec.desc + " rc" if r1 else rec.desc
         rid = desc.split()[0] if desc else ""
         o = i * L
-        n1 = int(len1[i])
-        trimmed1 = Record(rid, desc, t1b[o:o + n1].decode("ascii"),
-                          q1b[o:o + n1].decode("ascii")
-                          if have_q and rec.qual
-                          else (rec.qual[::-1][int(qe1[i]):] if rc1[i]
-                                else rec.qual[int(qe1[i]):])
-                          if rec.qual else None)
-        sp5_name = sp5_names[idx1[i]]
-        if idx2[i] < 0:
+        n1 = len1l[i]
+        if have_q and rec.qual:
+            qual1 = q1s[o:o + n1]
+        elif rec.qual:
+            qual1 = (rec.qual[::-1][qe1l[i]:] if r1
+                     else rec.qual[qe1l[i]:])
+        else:
+            qual1 = None
+        trimmed1 = Record(rid, desc, t1s[o:o + n1], qual1)
+        sp5_name = sp5_names[ii1]
+        ii2 = i2l[i]
+        if ii2 < 0:
             out.append((sp5_name, trimmed1, None, trimmed1))
             continue
-        desc2 = desc + " rc" if rc2[i] else desc
+        r2 = rc2l[i]
+        desc2 = desc + " rc" if r2 else desc
         rid2 = desc2.split()[0] if desc2 else ""
-        nf = int(flen[i])
+        nf = flenl[i]
         # per-read parity quirk: an empty trimmed1.qual ('') is falsy,
         # so materialize_decision emits None for the final qual
-        fqual = (q2b[o:o + nf].decode("ascii")
-                 if have_q and trimmed1.qual
-                 else ((trimmed1.qual[::-1] if rc2[i]
-                        else trimmed1.qual)[:nf]
-                       if trimmed1.qual else None))
-        final = Record(rid2, desc2, s2b[o:o + nf].decode("ascii"), fqual)
-        out.append((sp5_name, trimmed1, sp27_names[idx2[i]], final))
+        if have_q and trimmed1.qual:
+            fqual = q2s[o:o + nf]
+        elif trimmed1.qual:
+            fqual = (trimmed1.qual[::-1] if r2 else trimmed1.qual)[:nf]
+        else:
+            fqual = None
+        final = Record(rid2, desc2, fins[o:o + nf], fqual)
+        out.append((sp5_name, trimmed1, sp27_names[ii2], final))
     return out
 
 
@@ -414,7 +440,8 @@ def _decisions_sharded(records: Sequence[Record], sp5: AdapterBank,
                 np.asarray(v)[:B0] for v in sharded_dual_demux_step(
                     mesh, sp5, sp27rc, masks, lens2))
         mat = materialize_batch(chunk, sp5.names, sp27rc.names,
-                                i1, rc1, qe1, i2, rc2, qs2)
+                                i1, rc1, qe1, i2, rc2, qs2,
+                                amat=amat, lens=lens)
         for i, dec in enumerate(mat):
             out.append(dec + (bool(rc1[i]) and int(i1[i]) >= 0,
                               int(e1[i]),

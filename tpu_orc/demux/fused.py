@@ -290,13 +290,14 @@ class FusedDemux:
             else:
                 lazy = self._dispatch(
                     encode.read_masks_matrix(amat, lens), lens)
-            pending.append((s, chunk, lazy, len(chunk)))
-        for s, chunk, lazy, B0 in pending:
+            pending.append((s, chunk, lazy, len(chunk), amat, lens))
+        for s, chunk, lazy, B0, amat, lens in pending:
             full = np.asarray(lazy)
             d = FusedDecision(*(full[k, :B0] for k in range(8)))
             mat = materialize_batch(chunk, self.sp5.names,
                                     self.sp27.names, d.idx1, d.rc1,
-                                    d.qe1, d.idx2, d.rc2, d.qs2)
+                                    d.qe1, d.idx2, d.rc2, d.qs2,
+                                    amat=amat, lens=lens)
             for i, dec in enumerate(mat):
                 out.append((s + i,) + dec
                            + (bool(d.rc1[i]) and int(d.idx1[i]) >= 0,

@@ -43,11 +43,20 @@ RP = 64      # padded DP rows (adapter length <= 63)
 TB = 128     # reads per tile
 
 
+#: payload packing: pay = (matches << PAYB) | (origin + RP). matches
+#: <= RP-1 fits 6 bits above PAYB; origin in [-RP+1, L] needs
+#: L < 2**PAYB - RP. Packing matches+origin into ONE plane halves the
+#: Kogge-Stone payload traffic (2 rolls+selects per step instead of 3)
+#: and the DP/snapshot state (2 planes instead of 3).
+PAYB = 20
+PAYMASK = (1 << PAYB) - 1
+
+
 def _kernel(mode: str, Ap: int, L: int,
             ref_ref, kbyrs_ref, kfin_ref, onem_ref, mrow_ref,
             kconst_ref, reads_ref, lens_ref,
             out_m, out_c, out_o, out_q, out_v, out_r,
-            cost, matches, origin, sc, sm, so):
+            cost, pay, sc, spay):
     mode_front = mode == "front"
     snapshot = mode == "back"
     rows3 = jax.lax.broadcasted_iota(jnp.int32, (Ap, RP, TB), 1)
@@ -58,20 +67,19 @@ def _kernel(mode: str, Ap: int, L: int,
 
     if mode_front:  # free ref-prefix skip: cost 0, origin -i
         cost[...] = jnp.zeros((Ap, RP, TB), jnp.int32)
-        origin[...] = -rows3
+        pay[...] = RP - rows3                        # m=0, o=-i
     else:           # pay deletions: cost i
         cost[...] = rows3
-        origin[...] = jnp.zeros((Ap, RP, TB), jnp.int32)
-    matches[...] = jnp.zeros((Ap, RP, TB), jnp.int32)
+        pay[...] = jnp.full((Ap, RP, TB), RP, jnp.int32)  # m=0, o=0
     if snapshot:  # j==len column snapshot state (BACK only)
         sc[...] = cost[...]
-        sm[...] = matches[...]
-        so[...] = origin[...]
+        spay[...] = pay[...]
 
-    def row_m_eval(j, cst, mat, org):
+    def row_m_eval(j, cst, py):
         cm = jnp.sum(jnp.where(onem, cst, 0), axis=1)   # [Ap, TB]
-        mm = jnp.sum(jnp.where(onem, mat, 0), axis=1)
-        om = jnp.sum(jnp.where(onem, org, 0), axis=1)
+        pm = jnp.sum(jnp.where(onem, py, 0), axis=1)
+        mm = pm >> PAYB
+        om = (pm & PAYMASK) - RP
         if mode_front:
             # kbyrs[a, refstart] bakes floor(e*eff) and min-overlap (-1
             # encodes reject); single one-hot lookup keyed on refstart.
@@ -100,57 +108,54 @@ def _kernel(mode: str, Ap: int, L: int,
         out_o[...] = jnp.where(better, om, out_o[...])
         out_q[...] = jnp.where(better, qstop, out_q[...])
 
-    ok0, mm0, cm0, om0 = row_m_eval(jnp.int32(0), cost[...], matches[...],
-                                    origin[...])
+    ok0, mm0, cm0, om0 = row_m_eval(jnp.int32(0), cost[...], pay[...])
     update_best(ok0, mm0, cm0, om0, jnp.zeros((Ap, TB), jnp.int32))
+
+    # the scan key packs v = cost - row (bounded: cost <= row + 1 and
+    # cost - row >= -RP) above an inverted-row tie-break field, so a
+    # single strict < reproduces the sequential DP's "largest tied row
+    # wins" resolution exactly (a vertical chain never displaces an
+    # equal-cost local candidate).
+    inv_rows = (RP - 1) - rows3
 
     def col(j, _):
         qc = reads_ref[j - 1, :][None, None, :]      # [1, 1, TB]
         eq = (refm & qc) != 0
-        pc, pm, po = cost[...], matches[...], origin[...]
+        pc, pp = cost[...], pay[...]
         diag_c = pltpu.roll(pc, 1, 1)
-        diag_m = pltpu.roll(pm, 1, 1)
-        diag_o = pltpu.roll(po, 1, 1)
+        diag_p = pltpu.roll(pp, 1, 1)
         dc = jnp.where(eq, diag_c, diag_c + 1)
-        dm = jnp.where(eq, diag_m + 1, diag_m)
+        dp_ = jnp.where(eq, diag_p + (1 << PAYB), diag_p)
         hc = pc + 1
         use_h = hc < dc
         cand_c = jnp.where(use_h, hc, dc)
-        cand_m = jnp.where(use_h, pm, dm)
-        cand_o = jnp.where(use_h, po, diag_o)
+        cand_p = jnp.where(use_h, pp, dp_)
         # row 0: both FRONT and BACK have START_WITHIN_SEQ2 -> (0, 0, j)
         is0 = rows3 == 0
-        jfull = jnp.broadcast_to(j, (Ap, RP, TB)).astype(jnp.int32)
         cand_c = jnp.where(is0, 0, cand_c)
-        cand_m = jnp.where(is0, 0, cand_m)
-        cand_o = jnp.where(is0, jfull, cand_o)
+        cand_p = jnp.where(is0, j + RP, cand_p)      # m=0, o=j
         # Kogge-Stone (min,+) along rows, tie -> larger index
-        v = cand_c - rows3
-        m_ = cand_m
-        o_ = cand_o
+        key = ((cand_c - rows3 + RP) << 6) | inv_rows
+        p_ = cand_p
         d = 1
         while d < RP:
-            svv = pltpu.roll(v, d, 1)
-            smm = pltpu.roll(m_, d, 1)
-            soo = pltpu.roll(o_, d, 1)
-            take = (rows3 >= d) & (svv < v)
-            v = jnp.where(take, svv, v)
-            m_ = jnp.where(take, smm, m_)
-            o_ = jnp.where(take, soo, o_)
+            skk = pltpu.roll(key, d, 1)
+            spp = pltpu.roll(p_, d, 1)
+            take = (rows3 >= d) & (skk < key)
+            key = jnp.where(take, skk, key)
+            p_ = jnp.where(take, spp, p_)
             d *= 2
-        ncost = v + rows3
+        ncost = (key >> 6) - RP + rows3
         cost[...] = ncost
-        matches[...] = m_
-        origin[...] = o_
+        pay[...] = p_
 
-        ok, mm, cm, om = row_m_eval(j, ncost, m_, o_)
+        ok, mm, cm, om = row_m_eval(j, ncost, p_)
         update_best(ok, mm, cm, om,
                     jnp.broadcast_to(j, (Ap, TB)).astype(jnp.int32))
         if snapshot:
             at_end = j == lens[:, None, :]           # [1, 1, TB]
             sc[...] = jnp.where(at_end, ncost, sc[...])
-            sm[...] = jnp.where(at_end, m_, sm[...])
-            so[...] = jnp.where(at_end, o_, so[...])
+            spay[...] = jnp.where(at_end, p_, spay[...])
         return 0
 
     jax.lax.fori_loop(1, L + 1, col, 0)
@@ -159,9 +164,10 @@ def _kernel(mode: str, Ap: int, L: int,
         # final-column candidates from the snapshot; thresholds kfin are
         # per-(adapter,row) constants (refstart == 0 for BACK) with the
         # min-overlap and row<=m rules baked in as -1
+        sm = spay[...] >> PAYB
         okf = sc[...] <= kfin_ref[...][:, :, None]
         key = jnp.where(okf,
-                        ((RP - sm[...]) << 16)
+                        ((RP - sm) << 16)
                         + (jnp.minimum(sc[...], 255) << 8) + rows3,
                         BIG)
         kbest = jnp.min(key, axis=1)                 # [Ap, TB]
@@ -170,7 +176,8 @@ def _kernel(mode: str, Ap: int, L: int,
         fc = (kbest >> 8) & 255
         frow = kbest & 255
         oh = (key == kbest[:, None, :]) & okf
-        fo = jnp.sum(jnp.where((rows3 == frow[:, None, :]) & oh, so[...],
+        so = (spay[...] & PAYMASK) - RP
+        fo = jnp.sum(jnp.where((rows3 == frow[:, None, :]) & oh, so,
                                0), axis=1)
         better = okb & ((fm > out_m[...]) |
                         ((fm == out_m[...]) & (fc < out_c[...])))
@@ -193,6 +200,9 @@ def locate_tiles(ref, kbyrs, kfin, onem, mrow, kconst, reads_T, lens,
     mode: 'front' | 'back' | 'infix' (legacy bool = front/back)."""
     if mode is True or mode is False:
         mode = "front" if mode else "back"
+    if L >= (1 << PAYB) - RP:
+        raise ValueError(f"read length {L} overflows the packed origin "
+                         f"field (max {(1 << PAYB) - RP - 1})")
     B = reads_T.shape[1]
     grid = (B // TB,)
     kernel = functools.partial(_kernel, mode, Ap, L)
@@ -215,7 +225,7 @@ def locate_tiles(ref, kbyrs, kfin, onem, mrow, kconst, reads_T, lens,
         out_specs=[pl.BlockSpec((Ap, TB), lambda b: (0, b),
                                 memory_space=pltpu.VMEM)] * 6,
         out_shape=[jax.ShapeDtypeStruct((Ap, B), jnp.int32)] * 6,
-        scratch_shapes=[pltpu.VMEM((Ap, RP, TB), jnp.int32)] * 6,
+        scratch_shapes=[pltpu.VMEM((Ap, RP, TB), jnp.int32)] * 4,
         interpret=interpret,
     )(ref, kbyrs, kfin, onem, mrow, kconst, reads_T, lens)
 

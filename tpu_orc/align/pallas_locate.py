@@ -315,9 +315,12 @@ def locate_pallas(bank_masks: np.ndarray, bank_lens: np.ndarray,
     m, c, o, q, v, r = locate_tiles(
         *tabs.arrays(), jnp.asarray(reads_T), jnp.asarray(lens),
         mode, Ap, L, interpret)
-    tr = lambda x: np.asarray(x)[:A, :B0].T
-    bo = tr(o)
+    # ONE stacked device->host transfer (six separate fetches each pay
+    # full relay latency on the tunneled link)
+    stk = np.asarray(jnp.stack([m, c, o, q, v, r]))
+    tr = lambda x: x[:A, :B0].T
+    bo = tr(stk[2])
     return LocateResult(
-        valid=tr(v), matches=tr(m), errors=tr(c),
-        refstart=np.maximum(-bo, 0), refstop=tr(r),
-        querystart=np.maximum(bo, 0), querystop=tr(q))
+        valid=tr(stk[4]), matches=tr(stk[0]), errors=tr(stk[1]),
+        refstart=np.maximum(-bo, 0), refstop=tr(stk[5]),
+        querystart=np.maximum(bo, 0), querystop=tr(stk[3]))

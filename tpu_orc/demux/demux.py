@@ -125,9 +125,18 @@ def locate_batch(bank: AdapterBank, seqs: Sequence[str], flags,
     --match-read-wildcards (IUPAC codes in the *read* match their set;
     used on -amb consensus contigs in stage 04)."""
     L = _bucket_pad(max((len(s) for s in seqs), default=1))
-    masks, lens = encode.pack_batch(
-        seqs, max_len=L, pad_multiple=1,
-        encoder=encoder, pad_value=0)
+    # vectorized packing for the two standard encoders (identical
+    # lookup tables; pack_batch kept for custom encoders)
+    if encoder is encode.encode_read_masks:
+        amat, lens = encode.ascii_matrix(seqs, max_len=L)
+        masks = encode.read_masks_matrix(amat, lens)
+    elif encoder is encode.encode_read_masks_iupac:
+        amat, lens = encode.ascii_matrix(seqs, max_len=L)
+        masks = encode.iupac_masks_matrix(amat, lens)
+    else:
+        masks, lens = encode.pack_batch(
+            seqs, max_len=L, pad_multiple=1,
+            encoder=encoder, pad_value=0)
     if _use_pallas(bank, flags):
         from ..align.pallas_locate import locate_pallas
         return locate_pallas(bank.masks, bank.lens, bank.k_table,

@@ -206,6 +206,16 @@ def read_masks_matrix(ascii_mat: np.ndarray, lens: np.ndarray,
     return np.where(valid, m, np.uint8(pad_value))
 
 
+def iupac_masks_matrix(ascii_mat: np.ndarray, lens: np.ndarray,
+                       pad_value: int = 0) -> np.ndarray:
+    """[B, L] ASCII bytes -> IUPAC-expanded read masks (vectorized
+    equivalent of encode_read_masks_iupac per row; cutadapt
+    --match-read-wildcards); padding -> 0."""
+    m = _REF_MASK_TAB[ascii_mat]
+    valid = np.arange(ascii_mat.shape[1])[None, :] < np.asarray(lens)[:, None]
+    return np.where(valid, m, np.uint8(pad_value))
+
+
 def revcomp_matrix(ascii_mat: np.ndarray, lens: np.ndarray,
                    pad_value: int = 0) -> np.ndarray:
     """Row-wise IUPAC reverse complement of an ASCII byte matrix with

@@ -282,30 +282,51 @@ class BankTables:
         self.onem, self.mrow, self.kconst = onem, mrow, kconst
 
     def arrays(self):
-        return (jnp.asarray(self.ref), jnp.asarray(self.kbyrs),
+        """Device copies of the constant tables (memoized: a reorient/
+        demux run dispatches thousands of chunks against one bank)."""
+        if not hasattr(self, "_dev_arrays"):
+            self._dev_arrays = (
+                jnp.asarray(self.ref), jnp.asarray(self.kbyrs),
                 jnp.asarray(self.kfin), jnp.asarray(self.onem),
                 jnp.asarray(self.mrow), jnp.asarray(self.kconst))
+        return self._dev_arrays
 
 
-def locate_pallas(bank_masks: np.ndarray, bank_lens: np.ndarray,
-                  k_table: np.ndarray, n_prefix: np.ndarray,
-                  read_masks: np.ndarray, read_lens: np.ndarray,
-                  flags: int, min_overlap: int = DEFAULT_MIN_OVERLAP,
-                  interpret: bool = False):
-    """Host wrapper producing batched_locate-compatible LocateResult
-    fields as numpy arrays [B, A]. FRONT/BACK only."""
-    from .batched import LocateResult
+def tables_for_bank(bank, mode: str, min_overlap: int) -> BankTables:
+    """BankTables for an AdapterBank, cached on the bank instance —
+    BankTables construction is a Python A x RP double loop that the
+    per-chunk hot paths must not repay (reorient dispatches one locate
+    per 2048-read chunk)."""
+    cache = getattr(bank, "_pl_tables", None)
+    if cache is None:
+        cache = {}
+        bank._pl_tables = cache
+    key = (mode, min_overlap)
+    if key not in cache:
+        cache[key] = BankTables(bank.masks, bank.lens, bank.k_table,
+                                bank.n_prefix, mode == "front", min_overlap)
+    return cache[key]
+
+
+def _mode_of(flags: int) -> str:
     if int(flags) == int(FRONT):
-        mode = "front"
-    elif int(flags) == int(BACK):
-        mode = "back"
-    elif int(flags) == int(INFIX):
-        mode = "infix"
-    else:
-        raise ValueError("pallas locate supports FRONT/BACK/INFIX only")
-    tabs = BankTables(bank_masks, bank_lens, k_table, n_prefix,
-                      mode == "front", min_overlap)
-    A, Ap = tabs.A, tabs.Ap
+        return "front"
+    if int(flags) == int(BACK):
+        return "back"
+    if int(flags) == int(INFIX):
+        return "infix"
+    raise ValueError("pallas locate supports FRONT/BACK/INFIX only")
+
+
+def locate_dispatch(tabs: BankTables, read_masks: np.ndarray,
+                    read_lens: np.ndarray, mode: str,
+                    interpret: bool = False):
+    """Phase A of a pipelined locate: upload + launch, NO fetch.
+
+    Returns (lazy [6, Ap, B] device array, A, B0) for locate_collect.
+    Dispatching every chunk before fetching any lets host materialize
+    work for chunk k overlap device compute for chunks k+1... (the
+    demux host-overlap pattern, BENCH.md r3)."""
     B0, L = read_masks.shape
     B = -(-B0 // TB) * TB
     reads_T = np.zeros((L, B), np.int32)
@@ -314,13 +335,32 @@ def locate_pallas(bank_masks: np.ndarray, bank_lens: np.ndarray,
     lens[0, :B0] = read_lens
     m, c, o, q, v, r = locate_tiles(
         *tabs.arrays(), jnp.asarray(reads_T), jnp.asarray(lens),
-        mode, Ap, L, interpret)
-    # ONE stacked device->host transfer (six separate fetches each pay
-    # full relay latency on the tunneled link)
-    stk = np.asarray(jnp.stack([m, c, o, q, v, r]))
+        mode, tabs.Ap, L, interpret)
+    return jnp.stack([m, c, o, q, v, r]), tabs.A, B0
+
+
+def locate_collect(lazy, A: int, B0: int):
+    """Phase B: ONE stacked device->host transfer -> LocateResult."""
+    from .batched import LocateResult
+    stk = np.asarray(lazy)
     tr = lambda x: x[:A, :B0].T
     bo = tr(stk[2])
     return LocateResult(
         valid=tr(stk[4]), matches=tr(stk[0]), errors=tr(stk[1]),
         refstart=np.maximum(-bo, 0), refstop=tr(stk[5]),
         querystart=np.maximum(bo, 0), querystop=tr(stk[3]))
+
+
+def locate_pallas(bank_masks: np.ndarray, bank_lens: np.ndarray,
+                  k_table: np.ndarray, n_prefix: np.ndarray,
+                  read_masks: np.ndarray, read_lens: np.ndarray,
+                  flags: int, min_overlap: int = DEFAULT_MIN_OVERLAP,
+                  interpret: bool = False):
+    """Host wrapper producing batched_locate-compatible LocateResult
+    fields as numpy arrays [B, A]. FRONT/BACK/INFIX only."""
+    mode = _mode_of(flags)
+    tabs = BankTables(bank_masks, bank_lens, k_table, n_prefix,
+                      mode == "front", min_overlap)
+    lazy, A, B0 = locate_dispatch(tabs, read_masks, read_lens, mode,
+                                  interpret)
+    return locate_collect(lazy, A, B0)

@@ -124,6 +124,21 @@ def locate_batch(bank: AdapterBank, seqs: Sequence[str], flags,
     ``encoder=encode.encode_read_masks_iupac`` replicates cutadapt's
     --match-read-wildcards (IUPAC codes in the *read* match their set;
     used on -amb consensus contigs in stage 04)."""
+    return locate_batch_collect(
+        locate_batch_lazy(bank, seqs, flags, min_overlap, encoder))
+
+
+def locate_batch_lazy(bank: AdapterBank, seqs: Sequence[str], flags,
+                      min_overlap: int = DEFAULT_MIN_OVERLAP,
+                      encoder=encode.encode_read_masks):
+    """Phase A of a pipelined locate_batch: pack + dispatch, NO fetch.
+
+    Returns an opaque handle for locate_batch_collect. On the Pallas
+    path the device work is launched asynchronously, so callers can
+    dispatch every chunk of a stage before fetching any (reorient is
+    the high-volume consumer: it scans ALL raw reads); on the XLA
+    fallback the result is computed eagerly and the handle is a
+    pass-through (identical semantics, no pipelining)."""
     L = _bucket_pad(max((len(s) for s in seqs), default=1))
     # vectorized packing for the two standard encoders (identical
     # lookup tables; pack_batch kept for custom encoders)
@@ -138,12 +153,22 @@ def locate_batch(bank: AdapterBank, seqs: Sequence[str], flags,
             seqs, max_len=L, pad_multiple=1,
             encoder=encoder, pad_value=0)
     if _use_pallas(bank, flags):
-        from ..align.pallas_locate import locate_pallas
-        return locate_pallas(bank.masks, bank.lens, bank.k_table,
-                             bank.n_prefix, masks, lens, int(flags),
-                             min_overlap)
-    return batched_locate(bank.masks, bank.lens, bank.k_table, bank.n_prefix,
-                          masks, lens, int(flags), min_overlap)
+        from ..align.pallas_locate import (locate_dispatch, tables_for_bank,
+                                           _mode_of)
+        tabs = tables_for_bank(bank, _mode_of(flags), min_overlap)
+        lazy, A, B0 = locate_dispatch(tabs, masks, lens, _mode_of(flags))
+        return ("lazy", lazy, A, B0)
+    return ("done", batched_locate(bank.masks, bank.lens, bank.k_table,
+                                   bank.n_prefix, masks, lens, int(flags),
+                                   min_overlap))
+
+
+def locate_batch_collect(handle):
+    """Phase B: fetch a locate_batch_lazy handle -> LocateResult."""
+    if handle[0] == "lazy":
+        from ..align.pallas_locate import locate_collect
+        return locate_collect(handle[1], handle[2], handle[3])
+    return handle[1]
 
 
 def assign_reads(records: Sequence[Record], bank: AdapterBank, where: str,

@@ -227,7 +227,7 @@ class Reorienter:
         return None
 
     # ------------------------------------------------------------------
-    def run(self, records: Sequence[Record], batch_size: int = 256
+    def run(self, records: Sequence[Record], batch_size: int = 2048
             ) -> ReorientResult:
         cfg = self.cfg
         out = ReorientResult()
@@ -248,20 +248,32 @@ class Reorienter:
         if self.q is None:
             self.q = self.autotune(kept)
             stats["autotuned_q_x100"] = int(round(self.q * 100))
-        for start in range(0, len(kept), batch_size):
-            chunk = kept[start:start + batch_size]
-            work = [(ci, r.seq.upper(), r.qual, 0)
-                    for ci, r in enumerate(chunk)]
-            segments: Dict[int, List[Record]] = {ci: [] for ci in
-                                                 range(len(chunk))}
-            depth = 0
-            # iterative segmentation for fused reads (spec rule 7 +
-            # documented deviation: best-hit + re-scan of the remainder
-            # instead of all-hit interval scheduling)
-            while work and depth < cfg.max_segments:
-                hits = self._locate_all([w[1] for w in work])
-                nxt = []
-                for b, (ci, seq, qual, seg_no) in enumerate(work):
+        from .demux import locate_batch_collect, locate_batch_lazy
+        bank, _ = self._bank_for(self.q)
+        work = [(ci, r.seq.upper(), r.qual, 0) for ci, r in enumerate(kept)]
+        segments: Dict[int, List[Record]] = {ci: []
+                                             for ci in range(len(kept))}
+        depth = 0
+        # iterative segmentation for fused reads (spec rule 7 +
+        # documented deviation: best-hit + re-scan of the remainder
+        # instead of all-hit interval scheduling). Each pass is
+        # pipelined: EVERY chunk's primer scan is dispatched before any
+        # is fetched, so host classify/slice work for chunk k overlaps
+        # device compute for chunks k+1... (the demux host-overlap
+        # pattern; reorient scans every raw read, the highest-volume
+        # stage of the pipeline).
+        while work and depth < cfg.max_segments:
+            pend = []
+            for start in range(0, len(work), batch_size):
+                wchunk = work[start:start + batch_size]
+                pend.append((wchunk, locate_batch_lazy(
+                    bank, [w[1] for w in wchunk], INFIX,
+                    cfg.min_primer_overlap)))
+            nxt = []
+            for wchunk, handle in pend:
+                hits = {k: np.asarray(v) for k, v in
+                        locate_batch_collect(handle)._asdict().items()}
+                for b, (ci, seq, qual, seg_no) in enumerate(wchunk):
                     cls = self._classify(seq, hits, b)
                     if cls is None:
                         continue
@@ -271,7 +283,7 @@ class Reorienter:
                     if sign == "-":
                         seg = encode.revcomp(seg)
                         segq = segq[::-1] if segq else None
-                    rec = chunk[ci]
+                    rec = kept[ci]
                     name = (rec.id if seg_no == 0
                             else f"{rec.id}|seg{seg_no}")
                     segments[ci].append(Record(name, name, seg, segq))
@@ -283,31 +295,31 @@ class Reorienter:
                     restq = qual[rest_start:] if qual else None
                     if len(rest) >= cfg.min_len + 10:
                         nxt.append((ci, rest, restq, seg_no + 1))
-                work = nxt
-                depth += 1
-            # route per read (spec rule 7): one valid segment -> pass;
-            # fused (2+) -> ALL segments to rescued; none -> unclass;
-            # under-length segments -> short either way
-            for ci, rec in enumerate(chunk):
-                segs = segments[ci]
-                if not segs:
-                    stats["unclass"] += 1
-                    out.unclass.append(rec)
-                    continue
-                long_enough = [s for s in segs if len(s.seq) >= cfg.min_len]
-                for s in segs:
-                    if len(s.seq) < cfg.min_len:
-                        stats["short"] += 1
-                        out.short.append(s)
-                if len(segs) == 1:
-                    if long_enough:
-                        stats["pass"] += 1
-                        out.passed.append(long_enough[0])
-                else:
-                    stats["fused_reads"] += 1
-                    for s in long_enough:
-                        stats["rescued_segments"] += 1
-                        out.rescued.append(s)
+            work = nxt
+            depth += 1
+        # route per read (spec rule 7): one valid segment -> pass;
+        # fused (2+) -> ALL segments to rescued; none -> unclass;
+        # under-length segments -> short either way
+        for ci, rec in enumerate(kept):
+            segs = segments[ci]
+            if not segs:
+                stats["unclass"] += 1
+                out.unclass.append(rec)
+                continue
+            long_enough = [s for s in segs if len(s.seq) >= cfg.min_len]
+            for s in segs:
+                if len(s.seq) < cfg.min_len:
+                    stats["short"] += 1
+                    out.short.append(s)
+            if len(segs) == 1:
+                if long_enough:
+                    stats["pass"] += 1
+                    out.passed.append(long_enough[0])
+            else:
+                stats["fused_reads"] += 1
+                for s in long_enough:
+                    stats["rescued_segments"] += 1
+                    out.rescued.append(s)
         out.stats = stats
         return out
 

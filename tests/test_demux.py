@@ -219,3 +219,23 @@ def test_cutadapt_json_schema_reports(tmp_path, rng):
         assert ae and ae[0]["three_prime_end"]["type"] == \
             "regular_three_prime"
         assert ae[0]["five_prime_end"] is None
+
+
+def test_locate_batch_lazy_collect_parity(sp5, rng):
+    """The pipelined phase-A/phase-B locate (reorient's hot path) must
+    return exactly what the direct locate_batch returns, including on
+    the XLA fallback where the handle is a pass-through."""
+    from tpu_orc.demux.demux import locate_batch, locate_batch_lazy, \
+        locate_batch_collect
+    seqs = []
+    for i in range(37):
+        ins = "".join(rng.choice(list("ACGT"), size=int(rng.integers(40, 200))))
+        seqs.append(sp5.seqs[i % len(sp5)] + ins if i % 3 else ins)
+    direct = locate_batch(sp5, seqs, FRONT)
+    handles = [locate_batch_lazy(sp5, seqs[s:s + 16], FRONT)
+               for s in range(0, len(seqs), 16)]
+    got = [locate_batch_collect(h) for h in handles]
+    for f in direct._fields:
+        cat = np.concatenate([np.asarray(getattr(g, f)) for g in got])
+        np.testing.assert_array_equal(cat, np.asarray(getattr(direct, f)),
+                                      err_msg=f)

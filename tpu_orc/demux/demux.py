@@ -100,13 +100,14 @@ def locate_fwd_rc(bank: AdapterBank, masks, lens, flags,
     """(fwd, rc) LocateResults for a packed batch, picking the fastest
     available backend (Pallas kernel on TPU, XLA scan otherwise)."""
     if _use_pallas(bank, flags):
-        from ..align.pallas_locate import locate_pallas
+        from ..align.pallas_locate import (locate_collect, locate_dispatch,
+                                           tables_for_bank, _mode_of)
         rc_masks = encode.revcomp_read_masks(masks, lens)
         both = np.concatenate([masks, rc_masks])
         lens2 = np.concatenate([lens, lens])
-        res = locate_pallas(bank.masks, bank.lens, bank.k_table,
-                            bank.n_prefix, both, lens2, int(flags),
-                            min_overlap)
+        tabs = tables_for_bank(bank, _mode_of(flags), min_overlap)
+        res = locate_collect(*locate_dispatch(tabs, both, lens2,
+                                              _mode_of(flags)))
         B = masks.shape[0]
         fwd = type(res)(*[v[:B] for v in res])
         rcr = type(res)(*[v[B:] for v in res])

@@ -60,7 +60,14 @@ class PipelineConfig:
     # 96-way SLURM array): >1 overlaps host consensus/cleanup of one
     # bin with device scoring of another. Outputs are bin-independent
     # and byte-identical to sequential (tests/test_pipeline.py).
-    bin_workers: int = 1
+    # Concurrent barcode bins (the reference's --array=1-96 fan-out,
+    # 03_amplicon_sorter.sh:7). Bins are independent; overlapping them
+    # hides the sorter's per-ladder-step dispatch latency behind other
+    # bins' host work (measured on chip: 4 x 1000-read bins, 4 workers
+    # = 2.34x over serial, byte-identical outputs — the remaining
+    # single-bin wall is ~20 sequential ladder dispatches that cannot
+    # be batched without changing reference semantics, ROADMAP).
+    bin_workers: int = 4
 
     def mesh(self):
         if not self.use_mesh:

@@ -306,6 +306,38 @@ def main():
                   if sort_scorer[0] == "native" else None)
         sres[0] = AmpliconSorter(cfg, scorer=scorer).sort_records(srecs)
 
+    # --- reorient (stage 01, pychopper-equivalent): full Reorienter.run
+    # on 8192 M13-structured reads — pipelined INFIX primer scans +
+    # host classify/slice (the highest-volume stage: it sees every raw
+    # read). Declared before the sort section so --warmup-only can
+    # reach it; timed last (lowest priority under the soft budget).
+    from tpu_orc.demux.reorient import Reorienter, ReorientConfig
+    m13 = {}
+    from tpu_orc.io.fastq import read_fasta
+    for rec in read_fasta(f"{REF}/M13_seqs_for_pychopper.fa"):
+        m13[rec.id] = rec.seq.upper()
+    rrecs = []
+    for i in range(B):
+        ins = "".join(rng.choice(list("ACGT"), size=380))
+        p5 = "".join(c if c != "N" else str(rng.choice(list("ACGT")))
+                     for c in m13["SP5"])
+        p27 = "".join(c if c != "N" else str(rng.choice(list("ACGT")))
+                      for c in m13["SP27"])
+        s = p5 + ins + encode.revcomp(p27)
+        if i % 3 == 1:
+            s = encode.revcomp(s)
+        if i % 17 == 0:
+            s = ins  # unclassifiable
+        rrecs.append(Record(f"q{i}", f"q{i}", s, "I" * len(s)))
+    with open(f"{REF}/M13_config_for_pychopper.txt") as fh:
+        m13cfg = fh.read()
+    reorienter = Reorienter(f"{REF}/M13_seqs_for_pychopper.fa", m13cfg,
+                            ReorientConfig(q=0.75))  # pinned (no autotune)
+    reorient_round = lambda: reorienter.run(rrecs)
+    if warm == "reorient":
+        reorienter.run(rrecs[:2048])
+        return
+
     if warm == "sort":
         sort_once()
         return
@@ -319,6 +351,23 @@ def main():
     note("sort e2e: timed reps")
     t_sort, med_sort, disp_sort = best_time(sort_once, reps=3)
     n_species = sum(len(g) for g in sres[0].species)
+
+    # --- reorient timing (after the headline sections; skipped when the
+    # soft budget is gone so it can never crowd them out)
+    t_reo = reo_pass = None
+    reorient_backend = "pallas-infix"
+    if time.perf_counter() - _T0 < BUDGET_S * 0.8:
+        if on_accel and not guarded_warmup("reorient"):
+            reorient_backend = "skipped-compile-timeout"
+            fallbacks.append("reorient")
+        else:
+            note("reorient: warmup/compile ...")
+            reorient_round()
+            note("reorient: timed reps")
+            t_reo, med_reo, disp_reo = best_time(reorient_round, reps=3)
+            reo_pass = reorienter.run(rrecs).stats["pass"]
+    else:
+        reorient_backend = "skipped-budget"
 
     # Baseline framing (VERDICT r1 next#9): cpu_* numbers are ONE core
     # running the in-repo C++ oracle with identical semantics (the
@@ -355,6 +404,11 @@ def main():
             "sort_median_s": round(med_sort, 2),
             "sort_dispersion": round(disp_sort, 3),
             "sort_species_found": n_species,
+            "reorient_reads_per_s": (round(B / t_reo, 1)
+                                     if t_reo else None),
+            "reorient_median_s": (round(med_reo, 3) if t_reo else None),
+            "reorient_pass_reads": reo_pass,
+            "reorient_backend": reorient_backend,
             "demux_backend": demux_backend,
             "cluster_backend": cluster_backend,
             "sort_backend": sort_backend,

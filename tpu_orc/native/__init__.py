@@ -15,15 +15,28 @@ _SRC = os.path.join(_DIR, "oracle.cpp")
 _SO = os.path.join(_DIR, "_oracle.so")
 
 _lib = None
+_lib_lock = __import__("threading").Lock()
 
 
 def _build():
+    # build to a temp name + atomic rename: concurrent bin workers
+    # (pipeline bin_workers > 1) must never dlopen a half-written .so
+    tmp = _SO + ".tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", _SO, _SRC]
+           "-o", tmp, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _SO)
 
 
 def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        return _lib_locked()
+
+
+def _lib_locked() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib

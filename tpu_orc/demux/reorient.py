@@ -178,12 +178,8 @@ class Reorienter:
         counts = []
         for q in AUTOTUNE_GRID:  # descending (strict -> lenient)
             budget = np.floor((1.0 - q) * lens).astype(np.int64)
-            n = 0
-            for b in range(len(sample)):
-                if self._classify(sample[b], hits, b,
-                                  budget=budget) is not None:
-                    n += 1
-            counts.append(n)
+            cfg_idx, _, _, _ = self._classify_batch(hits, budget=budget)
+            counts.append(int((cfg_idx >= 0).sum()))
         mx = max(counts)
         for q, n in zip(AUTOTUNE_GRID, counts):  # strictest first
             if n >= 0.95 * mx:
@@ -197,34 +193,46 @@ class Reorienter:
                            self.cfg.min_primer_overlap)
         return {k: np.asarray(v) for k, v in res._asdict().items()}
 
-    def _classify(self, seq: str, hits, b: int,
-                  budget: Optional[np.ndarray] = None
-                  ) -> Optional[Tuple[str, int, int]]:
-        """Match hit layout against the orientation configs.
+    def _classify_batch(self, hits, budget: Optional[np.ndarray] = None):
+        """Match hit layouts against the orientation configs, whole
+        batch at once (the per-read Python loop was a first-order host
+        term once the primer scans were pipelined).
 
-        Returns (sign, seg_start, seg_end) on the *input* sequence
-        coordinates, where the segment excludes both primers.
-        ``budget``: optional per-primer error caps re-thresholding
-        lenient-scan hits (the autotune path)."""
-        for sign, segs in self.configs:
+        Returns (cfg_idx [B] int32 — index into self.configs, -1 =
+        unclassified — and s0/s1/rest [B] int32): the segment is
+        seq[s0:s1] on *input* coordinates (primers included when
+        keep_primers), ``rest`` is the remainder start after the 3'
+        primer (fused-read re-scan). First matching config wins (the
+        reference config order '+' then '-'). ``budget``: optional
+        per-primer error caps re-thresholding lenient-scan hits (the
+        autotune path)."""
+        B = hits["valid"].shape[0]
+        cfg_idx = np.full(B, -1, np.int32)
+        s0 = np.zeros(B, np.int32)
+        s1 = np.zeros(B, np.int32)
+        rest = np.zeros(B, np.int32)
+        for k, (sign, segs) in enumerate(self.configs):
             if len(segs) != 2:
                 continue
             i5 = self.name_idx[segs[0]]
             i3 = self.name_idx[segs[1]]
-            if not (hits["valid"][b, i5] and hits["valid"][b, i3]):
-                continue
-            if budget is not None and (
-                    hits["errors"][b, i5] > budget[i5]
-                    or hits["errors"][b, i3] > budget[i3]):
-                continue
-            end5 = int(hits["querystop"][b, i5])
-            start3 = int(hits["querystart"][b, i3])
-            if end5 <= start3:
-                if self.cfg.keep_primers:
-                    return (sign, int(hits["querystart"][b, i5]),
-                            int(hits["querystop"][b, i3]))
-                return sign, end5, start3
-        return None
+            ok = (hits["valid"][:, i5] != 0) & (hits["valid"][:, i3] != 0)
+            if budget is not None:
+                ok &= ((hits["errors"][:, i5] <= budget[i5])
+                       & (hits["errors"][:, i3] <= budget[i3]))
+            end5 = hits["querystop"][:, i5]
+            start3 = hits["querystart"][:, i3]
+            ok &= end5 <= start3
+            ok &= cfg_idx < 0  # first matching config wins
+            if self.cfg.keep_primers:
+                a, b = hits["querystart"][:, i5], hits["querystop"][:, i3]
+            else:
+                a, b = end5, start3
+            cfg_idx = np.where(ok, k, cfg_idx)
+            s0 = np.where(ok, a, s0)
+            s1 = np.where(ok, b, s1)
+            rest = np.where(ok, hits["querystop"][:, i3], rest)
+        return cfg_idx, s0, s1, rest
 
     # ------------------------------------------------------------------
     def run(self, records: Sequence[Record], batch_size: int = 2048
@@ -273,11 +281,11 @@ class Reorienter:
             for wchunk, handle in pend:
                 hits = {k: np.asarray(v) for k, v in
                         locate_batch_collect(handle)._asdict().items()}
-                for b, (ci, seq, qual, seg_no) in enumerate(wchunk):
-                    cls = self._classify(seq, hits, b)
-                    if cls is None:
-                        continue
-                    sign, s0, s1 = cls
+                cfg_idx, cs0, cs1, crest = self._classify_batch(hits)
+                for b in np.nonzero(cfg_idx >= 0)[0]:
+                    ci, seq, qual, seg_no = wchunk[b]
+                    sign = self.configs[cfg_idx[b]][0]
+                    s0, s1 = int(cs0[b]), int(cs1[b])
                     seg = seq[s0:s1]
                     segq = qual[s0:s1] if qual else None
                     if sign == "-":
@@ -288,9 +296,7 @@ class Reorienter:
                             else f"{rec.id}|seg{seg_no}")
                     segments[ci].append(Record(name, name, seg, segq))
                     # remainder after the 3' primer hit for fused reads
-                    i3 = self.name_idx[
-                        [c for c in self.configs if c[0] == sign][0][1][1]]
-                    rest_start = int(hits["querystop"][b, i3])
+                    rest_start = int(crest[b])
                     rest = seq[rest_start:]
                     restq = qual[rest_start:] if qual else None
                     if len(rest) >= cfg.min_len + 10:

@@ -272,3 +272,48 @@ def test_orientation_vote_both_strands(reorienter, profiles, rng):
     assert res.stats["pass"] == 2
     segs = {r.id: r.seq for r in res.passed}
     assert segs["p"] == segs["m"] == insert
+
+
+def test_classify_batch_matches_per_read_reference(rng):
+    """_classify_batch (vectorized config matching) against a plain
+    per-read reference implementation of spec rule 4, on random hit
+    tables with and without autotune budgets."""
+    r = Reorienter(PRIMERS, CONFIG, ReorientConfig(q=0.75))
+    A = len(r.names)
+    B = 400
+    hits = {
+        "valid": rng.integers(0, 2, size=(B, A)).astype(np.int32),
+        "errors": rng.integers(0, 15, size=(B, A)).astype(np.int32),
+        "querystart": rng.integers(0, 200, size=(B, A)).astype(np.int32),
+        "querystop": rng.integers(0, 200, size=(B, A)).astype(np.int32),
+    }
+
+    def ref_classify(b, budget=None):
+        for k, (sign, segs) in enumerate(r.configs):
+            i5, i3 = r.name_idx[segs[0]], r.name_idx[segs[1]]
+            if not (hits["valid"][b, i5] and hits["valid"][b, i3]):
+                continue
+            if budget is not None and (hits["errors"][b, i5] > budget[i5]
+                                       or hits["errors"][b, i3] > budget[i3]):
+                continue
+            end5 = int(hits["querystop"][b, i5])
+            start3 = int(hits["querystart"][b, i3])
+            if end5 <= start3:
+                if r.cfg.keep_primers:
+                    return (k, int(hits["querystart"][b, i5]),
+                            int(hits["querystop"][b, i3]),
+                            int(hits["querystop"][b, i3]))
+                return k, end5, start3, int(hits["querystop"][b, i3])
+        return None
+
+    for budget in (None, rng.integers(0, 12, size=A).astype(np.int64)):
+        for keep in (True, False):
+            r.cfg.keep_primers = keep
+            cfg_idx, s0, s1, rest = r._classify_batch(hits, budget=budget)
+            for b in range(B):
+                want = ref_classify(b, budget)
+                if want is None:
+                    assert cfg_idx[b] == -1, b
+                else:
+                    assert (int(cfg_idx[b]), int(s0[b]), int(s1[b]),
+                            int(rest[b])) == want, b

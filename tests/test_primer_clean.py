@@ -44,7 +44,15 @@ def test_linked_trim_recovers_insert(rng):
     assert trimmed[0].seq == insert
 
 
-def test_linked_requires_both(rng):
+def test_linked_requires_both():
+    # Local pinned rng, NOT the shared session stream: the REV primer
+    # has 9 IUPAC wildcards and a floor(0.1*26)=2 error budget, so ~3%
+    # of random 400 bp inserts contain a chance REV match (cutadapt
+    # would trim those too — faithful, but it made this test fragile to
+    # upstream tests consuming the session rng). Seed 1 verified
+    # REV-free.
+    import numpy as np
+    rng = np.random.default_rng(1)
     pairs = parse_primer_pairs(f"{REF}/COI_primers.fa")
     insert = "".join(rng.choice(list("ACGT"), size=400))
     seq = concretize(rng, pairs[0].fwd) + insert  # no reverse primer

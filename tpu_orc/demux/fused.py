@@ -272,12 +272,32 @@ class FusedDemux:
         # dispatch/compute-bound, not upload-bound — BENCH.md r3), while
         # adding a large one-time compile; parity is tested either way.
         packed = bool(os.environ.get("ORC_PACKED_UPLOAD"))
-        # Pipelined two-phase structure: phase 1 packs + DISPATCHES every
-        # chunk (lazy device arrays, device queue runs ahead); phase 2
-        # fetches + materializes, overlapping host string work for chunk
-        # k with device compute for chunks k+1... (BENCH.md r3 demux
-        # host-overlap).
-        pending = []
+        # Pipelined two-phase structure: chunks pack + DISPATCH ahead of
+        # the fetches through a bounded window (lazy device arrays, the
+        # device queue runs ahead), so host materialization for chunk k
+        # overlaps device compute for chunks k+1... (BENCH.md r3 demux
+        # host-overlap). The window bounds in-flight uploads: a
+        # million-read file must not stage ~500 x 4 MB read matrices on
+        # device at once; 8 outstanding chunks keep the overlap.
+        from collections import deque
+        MAX_INFLIGHT = 8
+        pending = deque()
+
+        def _drain_one():
+            s, chunk, lazy, B0, amat, lens = pending.popleft()
+            full = np.asarray(lazy)
+            d = FusedDecision(*(full[k, :B0] for k in range(8)))
+            mat = materialize_batch(chunk, self.sp5.names,
+                                    self.sp27.names, d.idx1, d.rc1,
+                                    d.qe1, d.idx2, d.rc2, d.qs2,
+                                    amat=amat, lens=lens)
+            for i, dec in enumerate(mat):
+                out.append((s + i,) + dec
+                           + (bool(d.rc1[i]) and int(d.idx1[i]) >= 0,
+                              int(d.err1[i]),
+                              bool(d.rc2[i]) and int(d.idx2[i]) >= 0,
+                              int(d.err2[i])))
+
         for s in range(0, len(recs), batch_size):
             chunk = recs[s:s + batch_size]
             amat, lens = encode.ascii_matrix(
@@ -291,19 +311,10 @@ class FusedDemux:
                 lazy = self._dispatch(
                     encode.read_masks_matrix(amat, lens), lens)
             pending.append((s, chunk, lazy, len(chunk), amat, lens))
-        for s, chunk, lazy, B0, amat, lens in pending:
-            full = np.asarray(lazy)
-            d = FusedDecision(*(full[k, :B0] for k in range(8)))
-            mat = materialize_batch(chunk, self.sp5.names,
-                                    self.sp27.names, d.idx1, d.rc1,
-                                    d.qe1, d.idx2, d.rc2, d.qs2,
-                                    amat=amat, lens=lens)
-            for i, dec in enumerate(mat):
-                out.append((s + i,) + dec
-                           + (bool(d.rc1[i]) and int(d.idx1[i]) >= 0,
-                              int(d.err1[i]),
-                              bool(d.rc2[i]) and int(d.idx2[i]) >= 0,
-                              int(d.err2[i])))
+            if len(pending) > MAX_INFLIGHT:
+                _drain_one()
+        while pending:
+            _drain_one()
         return out
 
     def _dispatch(self, masks: np.ndarray, lens: np.ndarray):

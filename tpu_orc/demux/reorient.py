@@ -265,20 +265,21 @@ class Reorienter:
         # iterative segmentation for fused reads (spec rule 7 +
         # documented deviation: best-hit + re-scan of the remainder
         # instead of all-hit interval scheduling). Each pass is
-        # pipelined: EVERY chunk's primer scan is dispatched before any
-        # is fetched, so host classify/slice work for chunk k overlaps
-        # device compute for chunks k+1... (the demux host-overlap
-        # pattern; reorient scans every raw read, the highest-volume
-        # stage of the pipeline).
+        # pipelined: primer scans dispatch ahead of the fetches through
+        # a bounded window, so host classify/slice work for chunk k
+        # overlaps device compute for chunks k+1... (the demux
+        # host-overlap pattern; reorient scans every raw read, the
+        # highest-volume stage of the pipeline).
+        MAX_INFLIGHT = 8  # bound queued uploads: a million-read file
+        # must not stage ~500 x 4 MB read matrices on device at once;
+        # 8 outstanding chunks keep the overlap without the memory.
+        from collections import deque
         while work and depth < cfg.max_segments:
-            pend = []
-            for start in range(0, len(work), batch_size):
-                wchunk = work[start:start + batch_size]
-                pend.append((wchunk, locate_batch_lazy(
-                    bank, [w[1] for w in wchunk], INFIX,
-                    cfg.min_primer_overlap)))
+            pend = deque()
             nxt = []
-            for wchunk, handle in pend:
+
+            def _drain_one():
+                wchunk, handle = pend.popleft()
                 hits = {k: np.asarray(v) for k, v in
                         locate_batch_collect(handle)._asdict().items()}
                 cfg_idx, cs0, cs1, crest = self._classify_batch(hits)
@@ -301,6 +302,16 @@ class Reorienter:
                     restq = qual[rest_start:] if qual else None
                     if len(rest) >= cfg.min_len + 10:
                         nxt.append((ci, rest, restq, seg_no + 1))
+
+            for start in range(0, len(work), batch_size):
+                wchunk = work[start:start + batch_size]
+                pend.append((wchunk, locate_batch_lazy(
+                    bank, [w[1] for w in wchunk], INFIX,
+                    cfg.min_primer_overlap)))
+                if len(pend) > MAX_INFLIGHT:
+                    _drain_one()
+            while pend:
+                _drain_one()
             work = nxt
             depth += 1
         # route per read (spec rule 7): one valid segment -> pass;

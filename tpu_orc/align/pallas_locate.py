@@ -303,7 +303,13 @@ def tables_for_bank(bank, mode: str, min_overlap: int) -> BankTables:
         bank._pl_tables = cache
     key = (mode, min_overlap)
     if key not in cache:
-        cache[key] = BankTables(bank.masks, bank.lens, bank.k_table,
+        # Copy the bank tables at cache time: BankTables (and its
+        # memoized device arrays) freeze the thresholds for the life of
+        # the bank, so a caller mutating bank.k_table after a locate has
+        # run must not silently keep the stale copy alive inside the
+        # cache while reading fresh values elsewhere.
+        cache[key] = BankTables(bank.masks.copy(), bank.lens.copy(),
+                                bank.k_table.copy(),
                                 bank.n_prefix, mode == "front", min_overlap)
     return cache[key]
 

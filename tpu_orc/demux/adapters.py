@@ -5,6 +5,12 @@ M13_amplicon_indices_forward.fa (12 SP5 5'-adapters),
 M13_amplicon_indices_reverse_rc.fa (12 SP27-rc 3'-adapters),
 COI_primers.fa / RNA_primers.fa (degenerate primer pairs). A bank is the
 replicated-per-chip constant of the demux kernels.
+
+A bank is treated as IMMUTABLE once any locate has run against it: the
+Pallas path caches derived tables (and their device copies) per bank
+instance (align/pallas_locate.py::tables_for_bank takes defensive
+copies). Callers that need different thresholds should build a new bank
+rather than mutating ``k_table`` in place.
 """
 from __future__ import annotations
 

@@ -311,7 +311,7 @@ class FusedDemux:
                 lazy = self._dispatch(
                     encode.read_masks_matrix(amat, lens), lens)
             pending.append((s, chunk, lazy, len(chunk), amat, lens))
-            if len(pending) > MAX_INFLIGHT:
+            if len(pending) >= MAX_INFLIGHT:
                 _drain_one()
         while pending:
             _drain_one()

@@ -19,13 +19,19 @@ _lib_lock = __import__("threading").Lock()
 
 
 def _build():
-    # build to a temp name + atomic rename: concurrent bin workers
-    # (pipeline bin_workers > 1) must never dlopen a half-written .so
-    tmp = _SO + ".tmp"
+    # build to a per-process temp name + atomic rename: concurrent bin
+    # workers AND concurrent processes (bench guarded-warmup children,
+    # parallel CLI runs) must never dlopen a half-written .so, and two
+    # processes must not race g++ onto the same tmp file
+    tmp = f"{_SO}.tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
            "-o", tmp, _SRC]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(tmp, _SO)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def lib() -> ctypes.CDLL:

@@ -156,8 +156,9 @@ def stage_clean(consensus_fasta: str, outdir: str, barcode: str,
 
 def stage_rrna(cleaned_fasta: str, outdir: str, barcode: str,
                cfg: PipelineConfig):
-    """05a: HMMER3 model file > exemplar FASTAs > universal-junction
-    anchors (zero-config default; rrna/anchors.py)."""
+    """05a: HMMER3 model file > exemplar FASTAs > conserved-core block
+    profiles with single-anchor fallback (zero-config default;
+    rrna/profiles.py)."""
     from ..io.fastq import read_fasta
     ex18 = ([r.seq for r in read_fasta(cfg.rrna_exemplars_18s)]
             if cfg.rrna_exemplars_18s else None)

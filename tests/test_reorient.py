@@ -289,6 +289,7 @@ def test_classify_batch_matches_per_read_reference(rng):
     }
 
     def ref_classify(b, budget=None):
+        found = []
         for k, (sign, segs) in enumerate(r.configs):
             i5, i3 = r.name_idx[segs[0]], r.name_idx[segs[1]]
             if not (hits["valid"][b, i5] and hits["valid"][b, i3]):
@@ -300,20 +301,121 @@ def test_classify_batch_matches_per_read_reference(rng):
             start3 = int(hits["querystart"][b, i3])
             if end5 <= start3:
                 if r.cfg.keep_primers:
-                    return (k, int(hits["querystart"][b, i5]),
-                            int(hits["querystop"][b, i3]),
-                            int(hits["querystop"][b, i3]))
-                return k, end5, start3, int(hits["querystop"][b, i3])
-        return None
+                    found.append((k, int(hits["querystart"][b, i5]),
+                                  int(hits["querystop"][b, i3]),
+                                  int(hits["querystop"][b, i3])))
+                else:
+                    found.append((k, end5, start3,
+                                  int(hits["querystop"][b, i3])))
+        return (found[0] if found else None), len(found)
 
     for budget in (None, rng.integers(0, 12, size=A).astype(np.int64)):
         for keep in (True, False):
             r.cfg.keep_primers = keep
-            cfg_idx, s0, s1, rest = r._classify_batch(hits, budget=budget)
+            cfg_idx, s0, s1, rest, ncfg = r._classify_batch(
+                hits, budget=budget)
             for b in range(B):
-                want = ref_classify(b, budget)
+                want, n_ok = ref_classify(b, budget)
+                assert int(ncfg[b]) == n_ok, b
                 if want is None:
                     assert cfg_idx[b] == -1, b
                 else:
                     assert (int(cfg_idx[b]), int(s0[b]), int(s1[b]),
                             int(rest[b])) == want, b
+
+
+# ---------------------------------------------------------------------------
+# Spec rule 8 scheduler property tests (VERDICT r3 next#4): all-hits
+# interval scheduling replacing the r3 best-hit + remainder re-scan.
+# ---------------------------------------------------------------------------
+
+def test_scheduler_equals_classify_on_single_segment_tables(rng):
+    """EQUIVALENCE property behind the fast path: on hit tables with at
+    most one hit per primer and exactly one matching config (the
+    fast-path gate), the rule-8 scheduler selects exactly the segment
+    the vectorized classify picks."""
+    r = Reorienter(PRIMERS, CONFIG, ReorientConfig(q=0.75))
+    A = len(r.names)
+    B = 300
+    hits = {
+        "valid": rng.integers(0, 2, size=(B, A)).astype(np.int32),
+        "errors": rng.integers(0, 15, size=(B, A)).astype(np.int32),
+        "querystart": rng.integers(0, 300, size=(B, A)).astype(np.int32),
+        "querystop": rng.integers(0, 300, size=(B, A)).astype(np.int32),
+        "matches": rng.integers(30, 59, size=(B, A)).astype(np.int32),
+    }
+    hits["querystop"] = hits["querystart"] + 1 + hits["querystop"] % 60
+    for keep in (True, False):
+        r.cfg.keep_primers = keep
+        cfg_idx, s0, s1, _, ncfg = r._classify_batch(hits)
+        n_checked = 0
+        for b in range(B):
+            if int(ncfg[b]) != 1:
+                continue  # fast path requires exactly one config match
+            sched = r._schedule(r._hits_from_row(hits, b))
+            assert len(sched) >= 1, b
+            k, a0, a1 = sched[0]
+            assert (k, a0, a1) == (int(cfg_idx[b]), int(s0[b]),
+                                   int(s1[b])), b
+            n_checked += 1
+        assert n_checked > 20  # the property actually exercised
+
+
+def test_run_fast_path_equals_forced_scheduler(profiles, rng):
+    """End-to-end equivalence: the same clean batch routed through the
+    fast path (default) and through the full enumerate+schedule path
+    (RESCAN_GAP=0 forces every classified read into the scheduler)
+    produces identical outputs."""
+    sp5, sp27 = profiles
+    recs = []
+    for i in range(40):
+        insert = "".join(rng.choice(list("ACGT"), size=150 + 3 * i))
+        seq = concretize(rng, sp5) + insert \
+            + encode.revcomp(concretize(rng, sp27))
+        if i % 3 == 0:
+            seq = encode.revcomp(seq)
+        recs.append(Record(f"c{i}", f"c{i}", seq, q(len(seq))))
+    fast = Reorienter(PRIMERS, CONFIG,
+                      ReorientConfig(keep_primers=False, q=0.75))
+    res_fast = fast.run(recs)
+    slow = Reorienter(PRIMERS, CONFIG,
+                      ReorientConfig(keep_primers=False, q=0.75))
+    slow.RESCAN_GAP = 0  # force full enumeration + scheduling
+    res_slow = slow.run(recs)
+    assert res_slow.stats["scheduled_reads"] == 40
+    assert res_fast.stats["pass"] == res_slow.stats["pass"] == 40
+    assert ([(x.id, x.seq, x.qual) for x in res_fast.passed]
+            == [(x.id, x.seq, x.qual) for x in res_slow.passed])
+
+
+def test_scheduler_recovers_out_of_order_fused(profiles, rng):
+    """The r3 deviation's failure case, now fixed: a fused read whose
+    BEST hit per primer pairs out of order (best SP5 in unit 2, best
+    -SP27 in unit 1). Best-hit classification alone finds no ordered
+    pair and would drop the read as unclassified; all-hits scheduling
+    recovers both segments."""
+    sp5, sp27 = profiles
+
+    def mutate(s, k):
+        s = list(s)
+        for pos in rng.choice(len(s), k, replace=False):
+            s[int(pos)] = "G" if s[int(pos)] != "G" else "A"
+        return "".join(s)
+
+    ins1 = "".join(rng.choice(list("ACGT"), size=150))
+    ins2 = "".join(rng.choice(list("ACGT"), size=170))
+    # unit 1: noisy SP5 (6 subs) + exact -SP27; unit 2: exact SP5 +
+    # noisy -SP27 -> best-per-primer hits are (SP5 of unit 2, -SP27 of
+    # unit 1), which are OUT OF ORDER along the read.
+    unit1 = (mutate(concretize(rng, sp5), 6) + ins1
+             + encode.revcomp(concretize(rng, sp27)))
+    unit2 = (concretize(rng, sp5) + ins2
+             + mutate(encode.revcomp(concretize(rng, sp27)), 6))
+    seq = unit1 + unit2
+    r = Reorienter(PRIMERS, CONFIG,
+                   ReorientConfig(keep_primers=False, q=0.75))
+    res = r.run([Record("oo", "oo", seq, q(len(seq)))])
+    assert res.stats["scheduled_reads"] == 1
+    assert res.stats["fused_reads"] == 1
+    assert res.stats["rescued_segments"] == 2
+    assert [s.seq for s in res.rescued] == [ins1, ins2]

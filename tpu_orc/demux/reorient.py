@@ -35,16 +35,29 @@ rule (VERDICT r2 #6; each rule's provenance noted):
 6. **Mean-Q filter** (`-Q 10`): reads whose mean base quality is below
    Q go to unclass (pychopper filters before classification).
 7. **Rescue** (`-w`): a read with exactly ONE valid segment -> pass;
-   a FUSED read (2+ valid segments after iterative re-scan of the
-   remainder) contributes ALL its segments to the rescued file, none to
+   a FUSED read (2+ valid segments under the rule-8 scheduler)
+   contributes ALL its segments to the rescued file, none to
    pass. Segments shorter than `-z` (min_len, default 50) -> short.
 
-Known deviations (documented, not hidden): pychopper enumerates ALL hit
-locations per primer and interval-schedules them in one pass; we take
-the best hit per primer and iterate on the remainder (cap
-``max_segments``), which classifies the same reads for non-pathological
-layouts. Autotune grid/sample sizes are ours; pychopper's exact grid is
-an implementation detail of its tuner.
+8. **Hit enumeration + interval scheduling** (pychopper's segmentation):
+   ALL acceptable hit locations of every primer are enumerated —
+   pychopper's edlib backend repeatedly aligns and masks out found
+   locations; we do the same with the batched INFIX scan (found spans
+   masked with a character that matches only primer N positions, up to
+   ``max_segments`` rounds) — and the read is segmented by WEIGHTED
+   INTERVAL SCHEDULING over all config-matched hit pairs: the
+   non-overlapping arrangement maximizing total matched bases (ties:
+   fewer errors, then more segments, then earliest span / config
+   order). Implementation detail: reads whose single best hit per
+   primer already yields a complete segment with no room for another
+   (no ``RESCAN_GAP`` flank, no second config match) take a vectorized
+   fast path whose result provably equals the scheduler's
+   (tests/test_reorient.py scheduler property tests); everything else
+   goes through full enumeration + scheduling.
+
+Known deviations (documented, not hidden): autotune grid/sample sizes
+are ours; pychopper's exact grid is an implementation detail of its
+tuner.
 
 Primer hits are scored on device with the batched locate kernel in INFIX
 mode; on TPU the Pallas locate kernel serves the scan.
@@ -158,27 +171,28 @@ class Reorienter:
 
     # ------------------------------------------------------------------
     def autotune(self, records: Sequence[Record]) -> float:
-        """Spec rule 3 tuner. ONE device scan at the most lenient grid
-        budget collects every primer's best-hit error count; each grid q
-        is then evaluated on host by re-thresholding those errors. The
-        pick is the STRICTEST q whose classified count is within 5% of
-        the grid maximum — classified count grows monotonically as q
-        loosens (junk reads eventually "classify"), so a bare argmax
-        would always return the loosest cutoff; the knee rule prefers
-        specificity once sensitivity plateaus. (Pychopper's tuner is an
-        implementation detail we cannot reproduce offline; this rule is
-        ours and documented as such.)"""
+        """Spec rule 3 tuner: classify the subsample at EVERY grid
+        cutoff (one device scan per q, like pychopper's tuner re-running
+        classification per candidate cutoff) and pick the STRICTEST q
+        whose classified count is within 5% of the grid maximum —
+        classified count grows monotonically as q loosens (junk reads
+        eventually "classify"), so a bare argmax would always return
+        the loosest cutoff; the knee rule prefers specificity once
+        sensitivity plateaus. (Per-q scans matter: a single lenient
+        scan re-thresholded on host keeps only the max-MATCHES hit per
+        primer, whose error count can exceed a stricter budget that a
+        different location would meet, systematically under-tuning q —
+        which then floods the rule-8 scheduler with spurious lenient
+        hits. The 5% knee rule remains ours and is documented as such.)
+        """
         sample = [r.seq.upper() for r in
                   list(records)[:self.cfg.autotune_sample]]
         if not sample:
             return AUTOTUNE_GRID[len(AUTOTUNE_GRID) // 2]
-        hits = self._locate_all(sample, AUTOTUNE_GRID[-1])  # lenient
-        bank, _ = self._bank_for(AUTOTUNE_GRID[-1])
-        lens = bank.lens.astype(np.float64)
         counts = []
         for q in AUTOTUNE_GRID:  # descending (strict -> lenient)
-            budget = np.floor((1.0 - q) * lens).astype(np.int64)
-            cfg_idx, _, _, _ = self._classify_batch(hits, budget=budget)
+            hits = self._locate_all(sample, q)
+            cfg_idx, _, _, _, _ = self._classify_batch(hits)
             counts.append(int((cfg_idx >= 0).sum()))
         mx = max(counts)
         for q, n in zip(AUTOTUNE_GRID, counts):  # strictest first
@@ -211,6 +225,7 @@ class Reorienter:
         s0 = np.zeros(B, np.int32)
         s1 = np.zeros(B, np.int32)
         rest = np.zeros(B, np.int32)
+        ncfg = np.zeros(B, np.int32)
         for k, (sign, segs) in enumerate(self.configs):
             if len(segs) != 2:
                 continue
@@ -223,6 +238,7 @@ class Reorienter:
             end5 = hits["querystop"][:, i5]
             start3 = hits["querystart"][:, i3]
             ok &= end5 <= start3
+            ncfg += ok.astype(np.int32)
             ok &= cfg_idx < 0  # first matching config wins
             if self.cfg.keep_primers:
                 a, b = hits["querystart"][:, i5], hits["querystop"][:, i3]
@@ -232,7 +248,141 @@ class Reorienter:
             s0 = np.where(ok, a, s0)
             s1 = np.where(ok, b, s1)
             rest = np.where(ok, hits["querystop"][:, i3], rest)
-        return cfg_idx, s0, s1, rest
+        return cfg_idx, s0, s1, rest, ncfg
+
+    # ------------------------------------------------------------------
+    # Spec rule 8: full hit enumeration + weighted interval scheduling
+    # ------------------------------------------------------------------
+
+    # A classified read re-enters hit enumeration only when a flank of
+    # at least this many bases lies outside its fast-path segment — the
+    # smallest span that could host another segment's two primers
+    # (len(SP5)+len(SP27) = 115 for the M13 profiles, minus slack for
+    # deletion-heavy hits).
+    RESCAN_GAP = 100
+    MASK_CHAR = "X"  # read-mask class 'other': matches ONLY primer N
+    # positions, so a masked span cannot re-seed a non-degenerate hit
+
+    def _hits_from_row(self, hits, b) -> List[Tuple[int, int, int, int,
+                                                    int]]:
+        """Valid (primer, qstart, qstop, errors, matches) tuples of one
+        batch row."""
+        out = []
+        for p in np.nonzero(hits["valid"][b])[0]:
+            qs = int(hits["querystart"][b, p])
+            qe = int(hits["querystop"][b, p])
+            if qe > qs:
+                out.append((int(p), qs, qe, int(hits["errors"][b, p]),
+                            int(hits["matches"][b, p])))
+        return out
+
+    def _enumerate_hits(self, entries, bank, batch_size: int = 2048):
+        """All acceptable hit locations per primer (spec rule 8):
+        iterative best-hit scans with previously found spans masked out
+        — the batched equivalent of pychopper's edlib-backend location
+        enumeration. ``entries`` is {ci: (seq, seed_hits)} where
+        seed_hits come from the already-run first scan; returns
+        {ci: [hit tuples]}."""
+        all_hits = {ci: list(seed) for ci, (_, seed) in entries.items()}
+
+        def masked(ci, seq):
+            s = list(seq)
+            for (_p, qs, qe, _e, _m) in all_hits[ci]:
+                s[qs:qe] = self.MASK_CHAR * (qe - qs)
+            return "".join(s)
+
+        active = {ci: masked(ci, seq) for ci, (seq, _) in entries.items()
+                  if all_hits[ci]}
+        for _ in range(1, self.cfg.max_segments):
+            if not active:
+                break
+            order = sorted(active)
+            nxt: Dict[int, str] = {}
+            for start in range(0, len(order), batch_size):
+                cis = order[start:start + batch_size]
+                res = locate_batch(bank, [active[ci] for ci in cis],
+                                   INFIX, self.cfg.min_primer_overlap)
+                hits = {k: np.asarray(v) for k, v in
+                        res._asdict().items()}
+                for b, ci in enumerate(cis):
+                    spans = [(h[1], h[2]) for h in all_hits[ci]]
+                    fresh = [h for h in self._hits_from_row(hits, b)
+                             if not any(h[1] < e and s < h[2]
+                                        for s, e in spans)]
+                    if not fresh:
+                        continue
+                    all_hits[ci].extend(fresh)
+                    s = list(active[ci])
+                    for (_p, qs, qe, _e, _m) in fresh:
+                        s[qs:qe] = self.MASK_CHAR * (qe - qs)
+                    nxt[ci] = "".join(s)
+            active = nxt
+        return all_hits
+
+    def _schedule(self, hits) -> List[Tuple[int, int, int]]:
+        """Weighted interval scheduling over config-matched hit pairs
+        (spec rule 8): candidate segments are every (5' hit, 3' hit)
+        pair matching an orientation config with end5 <= start3; the
+        selected arrangement is non-overlapping and maximizes
+        (total matches, -total errors, segment count) lexicographically,
+        deterministic ties by earliest end. Returns
+        [(cfg_idx, s0, s1), ...] in read order (input coordinates,
+        keep_primers honored), capped at ``max_segments``."""
+        cands = []
+        for k, (sign, segs) in enumerate(self.configs):
+            if len(segs) != 2:
+                continue
+            i5 = self.name_idx[segs[0]]
+            i3 = self.name_idx[segs[1]]
+            for h5 in hits:
+                if h5[0] != i5:
+                    continue
+                for h3 in hits:
+                    if h3[0] != i3 or h5[2] > h3[1]:
+                        continue
+                    cands.append((h5[1], h3[2], h5[4] + h3[4],
+                                  h5[3] + h3[3], k, h5, h3))
+        if not cands:
+            return []
+        cands.sort(key=lambda c: (c[1], c[0], c[4]))
+        n = len(cands)
+        val = [None] * n   # best (matches, -errors, count) ending at i
+        par = [None] * n
+        for i, (s, e, sc, er, k, h5, h3) in enumerate(cands):
+            base = (sc, -er, 1)
+            bj = None
+            for j in range(i):
+                if cands[j][1] <= s and (bj is None or val[j] > val[bj]):
+                    bj = j
+            val[i] = (base if bj is None else
+                      tuple(a + b for a, b in zip(val[bj], base)))
+            par[i] = bj
+        best = max(range(n), key=lambda i: val[i])
+        chain = []
+        i = best
+        while i is not None:
+            chain.append(cands[i])
+            i = par[i]
+        chain.reverse()
+        chain = chain[:self.cfg.max_segments]
+        out = []
+        for (s, e, sc, er, k, h5, h3) in chain:
+            if self.cfg.keep_primers:
+                out.append((k, h5[1], h3[2]))
+            else:
+                out.append((k, h5[2], h3[1]))
+        return out
+
+    def _make_segment(self, rec: Record, seq: str, qual, cfg_k: int,
+                      s0: int, s1: int, seg_no: int) -> Record:
+        sign = self.configs[cfg_k][0]
+        seg = seq[s0:s1]
+        segq = qual[s0:s1] if qual else None
+        if sign == "-":
+            seg = encode.revcomp(seg)
+            segq = segq[::-1] if segq else None
+        name = rec.id if seg_no == 0 else f"{rec.id}|seg{seg_no}"
+        return Record(name, name, seg, segq)
 
     # ------------------------------------------------------------------
     def run(self, records: Sequence[Record], batch_size: int = 2048
@@ -240,7 +390,8 @@ class Reorienter:
         cfg = self.cfg
         out = ReorientResult()
         stats = {"total": 0, "pass": 0, "rescued_segments": 0,
-                 "fused_reads": 0, "unclass": 0, "short": 0, "low_q": 0}
+                 "fused_reads": 0, "unclass": 0, "short": 0, "low_q": 0,
+                 "scheduled_reads": 0}
         records = list(records)
         # spec rule 6: mean-Q filter before classification
         kept: List[Record] = []
@@ -258,62 +409,71 @@ class Reorienter:
             stats["autotuned_q_x100"] = int(round(self.q * 100))
         from .demux import locate_batch_collect, locate_batch_lazy
         bank, _ = self._bank_for(self.q)
-        work = [(ci, r.seq.upper(), r.qual, 0) for ci, r in enumerate(kept)]
+        work = [(ci, r.seq.upper(), r.qual) for ci, r in enumerate(kept)]
         segments: Dict[int, List[Record]] = {ci: []
                                              for ci in range(len(kept))}
-        depth = 0
-        # iterative segmentation for fused reads (spec rule 7 +
-        # documented deviation: best-hit + re-scan of the remainder
-        # instead of all-hit interval scheduling). Each pass is
-        # pipelined: primer scans dispatch ahead of the fetches through
-        # a bounded window, so host classify/slice work for chunk k
-        # overlaps device compute for chunks k+1... (the demux
-        # host-overlap pattern; reorient scans every raw read, the
-        # highest-volume stage of the pipeline).
+        # slow-path candidates for full enumeration + scheduling (spec
+        # rule 8): {ci: (seq, seed_hits)}
+        slow: Dict[int, Tuple[str, list]] = {}
+        # ONE pipelined scan pass over every read: primer scans dispatch
+        # ahead of the fetches through a bounded window, so host
+        # classify/slice work for chunk k overlaps device compute for
+        # chunks k+1... (the demux host-overlap pattern; reorient scans
+        # every raw read, the highest-volume stage of the pipeline).
         MAX_INFLIGHT = 8  # bound queued uploads: a million-read file
         # must not stage ~500 x 4 MB read matrices on device at once;
         # 8 outstanding chunks keep the overlap without the memory.
         from collections import deque
-        while work and depth < cfg.max_segments:
-            pend = deque()
-            nxt = []
+        pend = deque()
 
-            def _drain_one():
-                wchunk, handle = pend.popleft()
-                hits = {k: np.asarray(v) for k, v in
-                        locate_batch_collect(handle)._asdict().items()}
-                cfg_idx, cs0, cs1, crest = self._classify_batch(hits)
-                for b in np.nonzero(cfg_idx >= 0)[0]:
-                    ci, seq, qual, seg_no = wchunk[b]
-                    sign = self.configs[cfg_idx[b]][0]
-                    s0, s1 = int(cs0[b]), int(cs1[b])
-                    seg = seq[s0:s1]
-                    segq = qual[s0:s1] if qual else None
-                    if sign == "-":
-                        seg = encode.revcomp(seg)
-                        segq = segq[::-1] if segq else None
-                    rec = kept[ci]
-                    name = (rec.id if seg_no == 0
-                            else f"{rec.id}|seg{seg_no}")
-                    segments[ci].append(Record(name, name, seg, segq))
-                    # remainder after the 3' primer hit for fused reads
-                    rest_start = int(crest[b])
-                    rest = seq[rest_start:]
-                    restq = qual[rest_start:] if qual else None
-                    if len(rest) >= cfg.min_len + 10:
-                        nxt.append((ci, rest, restq, seg_no + 1))
+        def _drain_one():
+            wchunk, handle = pend.popleft()
+            hits = {k: np.asarray(v) for k, v in
+                    locate_batch_collect(handle)._asdict().items()}
+            cfg_idx, cs0, cs1, _, ncfg = self._classify_batch(hits)
+            lens_c = np.fromiter((len(w[1]) for w in wchunk), np.int32,
+                                 len(wchunk))
+            anyhit = (hits["valid"] != 0).any(axis=1)
+            classified = cfg_idx >= 0
+            # fast path is exact iff no other segment can exist and no
+            # competing config matched; everything else is enumerated +
+            # scheduled (the property tests assert the equivalence)
+            need_slow = np.where(
+                classified,
+                (cs0 >= self.RESCAN_GAP)
+                | (lens_c - cs1 >= self.RESCAN_GAP)
+                | (ncfg > 1),
+                anyhit)
+            for b in np.nonzero(need_slow | classified)[0]:
+                ci, seq, qual = wchunk[b]
+                if need_slow[b]:
+                    slow[ci] = (seq, self._hits_from_row(hits, b))
+                elif classified[b]:
+                    segments[ci].append(self._make_segment(
+                        kept[ci], seq, qual, int(cfg_idx[b]),
+                        int(cs0[b]), int(cs1[b]), 0))
 
-            for start in range(0, len(work), batch_size):
-                wchunk = work[start:start + batch_size]
-                pend.append((wchunk, locate_batch_lazy(
-                    bank, [w[1] for w in wchunk], INFIX,
-                    cfg.min_primer_overlap)))
-                if len(pend) > MAX_INFLIGHT:
-                    _drain_one()
-            while pend:
+        for start in range(0, len(work), batch_size):
+            wchunk = work[start:start + batch_size]
+            pend.append((wchunk, locate_batch_lazy(
+                bank, [w[1] for w in wchunk], INFIX,
+                cfg.min_primer_overlap)))
+            if len(pend) >= MAX_INFLIGHT:
                 _drain_one()
-            work = nxt
-            depth += 1
+        while pend:
+            _drain_one()
+
+        # slow path: enumerate all hit locations, schedule segments
+        if slow:
+            stats["scheduled_reads"] = len(slow)
+            all_hits = self._enumerate_hits(slow, bank, batch_size)
+            for ci, (seq, _) in slow.items():
+                qual = kept[ci].qual
+                for seg_no, (k, s0, s1) in enumerate(
+                        self._schedule(all_hits[ci])):
+                    segments[ci].append(self._make_segment(
+                        kept[ci], seq, qual, k, s0, s1, seg_no))
+
         # route per read (spec rule 7): one valid segment -> pass;
         # fused (2+) -> ALL segments to rescued; none -> unclass;
         # under-length segments -> short either way

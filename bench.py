@@ -10,18 +10,27 @@ same locate semantics on this host's CPUs — the reference pipeline's own
 compute engine for this stage is cutadapt's C aligner doing the same DP
 (the reference publishes no numbers, BASELINE.md).
 
-Reproducibility (round-3 hardening, VERDICT r2 weak #1):
-* every timing is the MEDIAN of >= 5 reps (device) with dispersion
-  ((max-min)/median) reported in details;
+Reproducibility (round-4 hardening, VERDICT r3 next#1 — the r3 driver
+run under-sampled the min on the noisy relay):
+* device timings are ADAPTIVE: reps continue until the running min has
+  been stable for ``patience`` reps (max-rep and wall-budget bounded),
+  instead of a fixed small count;
+* headline sections are RE-SAMPLED in later sweep passes interleaved
+  with the other sections, so one bad tunnel phase cannot sink one
+  metric — the reported min merges every pass;
+* the cluster headline is the SUSTAINED throughput of a pipelined
+  window of dispatches (all launched before any fetch — exactly how the
+  production sorter and bin_workers overlap work), which amortizes the
+  per-dispatch relay latency that dominated r3's rep-to-rep spread;
+  the latency-inclusive single-dispatch min is reported alongside;
 * CPU baseline windows are adaptive — work repeats until >= 2 s of
-  wall clock has accumulated (the r2 regression traced to 30-60 ms CPU
-  bursts on a contended 2-core host: a single scheduler hiccup moved
-  the "baseline" 3x);
-* ORC_THREADS is pinned to 1 for the baseline (and nthreads=1 passed
-  explicitly); time.perf_counter throughout; compile excluded by warmup.
+  wall clock has accumulated; ORC_THREADS pinned to 1.
 
-Secondary details: all-vs-all Myers clustering throughput (cells/s and
-pairwise alignments/s) on device vs the C++ 64-bit Myers.
+New r4 sections (VERDICT r3 next#2/#5/#6): a 96-bin plate-scale
+``run_all`` end-to-end metric, a 1000-read ~3.5 kb long-read sort, and
+a measured single-chip overhead of the multi-device production paths
+(FusedDemux.decide_multi / device_parallel_pairwise with devices=[chip]
+vs the single-chip calls).
 """
 import json
 import os
@@ -38,25 +47,36 @@ import sys
 
 import numpy as np
 
-DEVICE_REPS = int(os.environ.get("ORC_BENCH_REPS", "7"))
 CPU_WINDOW_S = 2.0
-# Soft wall-clock budget: once exceeded, device sections stop after
-# >= 3 reps (min-of-k stays valid) instead of risking a driver timeout
-# that records nothing. The relay tunnel has hour-scale bad phases where
-# identical dispatches take 3-5x their min (BENCH.md).
+# Soft wall-clock budget: sections after the headline ones are skipped
+# once their share is gone, so a driver timeout can never record
+# nothing. The relay tunnel has hour-scale bad phases where identical
+# dispatches take 3-5x their min (BENCH.md).
 BUDGET_S = float(os.environ.get("ORC_BENCH_BUDGET_S", "900"))
 _T0 = time.perf_counter()
+
+
+def elapsed() -> float:
+    return time.perf_counter() - _T0
 
 
 def note(msg: str) -> None:
     """Progress marker on stderr (the JSON contract owns stdout) so a
     stalled driver run shows WHERE the tunnel is stuck."""
-    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
-          file=sys.stderr, flush=True)
+    print(f"[bench +{elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def best_time(fn, reps: int = DEVICE_REPS):
-    """(min, median, dispersion) of per-rep wall times (fn must block).
+# Every section's raw per-rep times accumulate here across passes; the
+# reported numbers merge ALL passes (min / median / dispersion).
+TIMES: dict = {}
+
+
+def record(name: str, t: float) -> None:
+    TIMES.setdefault(name, []).append(t)
+
+
+def stats_of(name: str):
+    """(min, median, dispersion) over every recorded rep of a section.
 
     The headline uses MIN: the TPU is reached through a shared TCP
     relay that injects 50-500 ms of random latency per dispatch burst,
@@ -65,19 +85,58 @@ def best_time(fn, reps: int = DEVICE_REPS):
     over reps is the reproducible capability of the kernel+host path;
     median and dispersion are reported alongside so service noise stays
     visible."""
-    ts = []
-    for r in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-        note(f"  rep {r + 1}/{reps}: {ts[-1]:.2f}s")
-        if (len(ts) >= 3 and time.perf_counter() - _T0 > BUDGET_S):
-            note(f"  soft budget {BUDGET_S:.0f}s exceeded — stopping "
-                 f"after {len(ts)} reps")
-            break
+    ts = TIMES.get(name, [])
+    if not ts:
+        return None, None, None
     med = float(np.median(ts))
     disp = (max(ts) - min(ts)) / med if med > 0 else 0.0
     return float(min(ts)), med, disp
+
+
+def timed_reps(name: str, fn, reps: int, label: str = "") -> None:
+    """Fixed-count timed reps appended to TIMES[name] (fn must block)."""
+    for r in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        record(name, dt)
+        note(f"  {label or name} rep {r + 1}/{reps}: {dt:.2f}s")
+
+
+def adaptive_reps(name: str, fn, min_reps: int, max_reps: int,
+                  patience: int, section_budget_s: float = 60.0) -> None:
+    """Timed reps until the running MIN is stable (r4 hardening): stop
+    when >= min_reps ran and the min has not improved by >2% for
+    ``patience`` consecutive reps, or max_reps / the section budget is
+    hit. On the relay, a fixed rep count under-samples the min whenever
+    a latency burst straddles the window (VERDICT r3 weak#1)."""
+    t_start = time.perf_counter()
+    best = float("inf")
+    since = 0
+    n = 0
+    while n < max_reps:
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        record(name, dt)
+        n += 1
+        if dt < best * 0.98:
+            best = min(best, dt)
+            since = 0
+        else:
+            since += 1
+        note(f"  {name} rep {n}: {dt:.2f}s (min {min(best, dt):.2f}s, "
+             f"stable {since}/{patience})")
+        best = min(best, dt)
+        if n >= min_reps and since >= patience:
+            break
+        if time.perf_counter() - t_start > section_budget_s and n >= 3:
+            note(f"  {name}: section budget {section_budget_s:.0f}s "
+                 f"exhausted after {n} reps")
+            break
+        if elapsed() > BUDGET_S and n >= 3:
+            note(f"  {name}: global budget exceeded after {n} reps")
+            break
 
 
 def cpu_window(fn, min_s: float = CPU_WINDOW_S, max_iters: int = 1000):
@@ -97,7 +156,7 @@ def cpu_window(fn, min_s: float = CPU_WINDOW_S, max_iters: int = 1000):
 WARMUP_TIMEOUT_S = float(os.environ.get("ORC_WARMUP_TIMEOUT_S", "600"))
 
 
-def guarded_warmup(section: str) -> bool:
+def guarded_warmup(section: str, tries: int = 2) -> bool:
     """Compile this section's device program in a BOUNDED child process.
 
     The axon service compiles Mosaic kernels server-side with a
@@ -107,27 +166,109 @@ def guarded_warmup(section: str) -> bool:
     timeout instead of wedging the whole bench — the parent falls back
     to the labeled XLA/native variant and still records numbers."""
     import subprocess
-    note(f"{section}: guarded warmup (child, <= {WARMUP_TIMEOUT_S:.0f}s)")
-    t0 = time.perf_counter()
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--warmup-only", section],
-            timeout=WARMUP_TIMEOUT_S, stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL)
-        ok = r.returncode == 0
-    except subprocess.TimeoutExpired:
-        ok = False
-    note(f"{section}: guarded warmup "
-         f"{'ok' if ok else 'TIMED OUT / FAILED'} "
-         f"({time.perf_counter() - t0:.0f}s)")
-    return ok
+    for attempt in range(tries):
+        note(f"{section}: guarded warmup (child, <= "
+             f"{WARMUP_TIMEOUT_S:.0f}s, try {attempt + 1}/{tries})")
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--warmup-only", section],
+                timeout=WARMUP_TIMEOUT_S, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL)
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        note(f"{section}: guarded warmup "
+             f"{'ok' if ok else 'TIMED OUT / FAILED'} "
+             f"({time.perf_counter() - t0:.0f}s)")
+        if ok:
+            return True
+        # a fast non-zero exit is a transient child failure (OOM spike,
+        # service hiccup), not a wedged compile — one retry is cheap
+        # compared to demoting the whole section to its fallback path
+        if elapsed() > BUDGET_S * 0.8:
+            break
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Plate-scale fixture (VERDICT r3 next#2): the reference's unit of work
+# is a 96-barcode plate (03_amplicon_sorter.sh:7, 12 SP5 x 8 SP27 valid
+# combos, 02_cutadapt_loop.sh:114-118). Reads carry the full raw-read
+# structure (SP5 adapter + COI primers + insert + SP27-rc adapter, half
+# reverse-complemented) so run_all exercises reorient -> demux -> sort
+# -> clean -> 05b exactly as on real data.
+# ---------------------------------------------------------------------------
+
+def make_plate(sp5, sp27, n_per_bin: int, n5: int = 12, n27: int = 8,
+               seed: int = 11):
+    import random
+    from tpu_orc.demux.primer_clean import parse_primer_pairs
+    from tpu_orc.io import encode
+    from tpu_orc.io.fastq import Record
+    rnd = random.Random(seed)
+
+    def rand(n):
+        return "".join(rnd.choice("ACGT") for _ in range(n))
+
+    def mutate(s, rate):
+        out = []
+        for ch in s:
+            r = rnd.random()
+            if r < rate / 3:
+                continue
+            if r < 2 * rate / 3:
+                out.append(rnd.choice("ACGT"))
+            elif r < rate:
+                out.append(ch)
+                out.append(rnd.choice("ACGT"))
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    pairs = parse_primer_pairs(
+        "/root/reference/adapters_primers/COI_primers.fa")
+    tab = {"R": "AG", "Y": "CT", "S": "GC", "W": "AT", "K": "GT",
+           "M": "AC", "B": "CGT", "D": "AGT", "H": "ACT", "V": "ACG",
+           "N": "ACGT"}
+    coi_f = "".join(rnd.choice(tab.get(c, c)) for c in pairs[0].fwd)
+    coi_r = "".join(rnd.choice(tab.get(c, c)) for c in pairs[0].rev)
+    recs = []
+    for i5 in range(n5):
+        for i27 in range(n27):
+            tmpl = rand(450)  # one species per bin
+            for r in range(n_per_bin):
+                ins = coi_f + mutate(tmpl, 0.02) + coi_r
+                s = sp5.seqs[i5] + ins + sp27.seqs[i27]
+                if (i5 + i27 + r) % 2:
+                    s = encode.revcomp(s)
+                rid = f"p{i5}_{i27}_{r}"
+                recs.append(Record(rid, rid, s, "I" * len(s)))
+    rnd.shuffle(recs)
+    return recs
+
+
+def run_plate(recs, outdir: str):
+    import contextlib
+    import shutil
+    from tpu_orc.io.fastq import write_records
+    from tpu_orc.pipeline.stages import PipelineConfig, run_all
+    shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(outdir, exist_ok=True)
+    fq = os.path.join(outdir, "plate.fastq")
+    write_records(fq, recs, fmt="fastq")
+    # run_all narrates per-stage metrics to stdout; the bench's stdout
+    # is the one-JSON-line contract, so route the narration to stderr.
+    with contextlib.redirect_stdout(sys.stderr):
+        return run_all(fq, os.path.join(outdir, "out"), "plate", "COI",
+                       PipelineConfig())
 
 
 def main():
     import jax
     from tpu_orc.demux.adapters import AdapterBank
-    from tpu_orc.demux.fused import FusedDemux
+    from tpu_orc.demux.fused import FusedDemux, _pick_len
     from tpu_orc.align.spec import FRONT, BACK
     from tpu_orc.align import myers
     from tpu_orc.io import encode
@@ -140,7 +281,6 @@ def main():
     warm = None
     if len(sys.argv) >= 3 and sys.argv[1] == "--warmup-only":
         warm = sys.argv[2]
-    on_accel = None  # resolved after first jax call below
     fallbacks = []
 
     REF = "/root/reference/adapters_primers"
@@ -150,7 +290,10 @@ def main():
         f"{REF}/M13_amplicon_indices_reverse_rc.fa", 0.1)
 
     rng = np.random.default_rng(0)
-    B = 8192  # throughput metric: large batches amortize tunnel latency
+    # throughput metric: large batches amortize relay latency. r4 bumps
+    # 8192 -> 16384: per-rep fixed costs halve relative to work, and the
+    # pipelined chunk window (8 x 2048) stays fully occupied.
+    B = 16384
     reads = []
     for i in range(B):
         ins = "".join(rng.choice(list("ACGT"), size=260))
@@ -161,9 +304,9 @@ def main():
     recs = [Record(f"r{i}", f"r{i}", s, "I" * len(s))
             for i, s in enumerate(reads)]
 
-    # --- device: fused dual-round demux (2-bit packed upload; rc,
-    # round-1 FRONT, on-device trim, round-2 BACK in one device program),
-    # including host packing and vectorized output materialization
+    # --- device: fused dual-round demux (rc, round-1 FRONT, on-device
+    # trim, round-2 BACK in one device program), including host packing
+    # and vectorized output materialization.
     # Production path: 2048-read pipelined chunks (dual_round_demux's
     # choice — all chunks dispatch before any fetch, host materialize
     # overlaps device compute; measured 535 ms vs 1098 ms monolithic).
@@ -174,11 +317,12 @@ def main():
         fd.assign(recs[:CHUNK], batch_size=CHUNK)
         return
     demux_backend = "fused-pallas"
+    demux_round = None
     if warm is None:
         if not on_accel or guarded_warmup("demux"):
-            device_round = lambda: fd.assign(recs, batch_size=CHUNK)
+            demux_round = lambda: fd.assign(recs, batch_size=CHUNK)
             note("demux: warmup/compile ...")
-            device_round()  # warmup/compile
+            demux_round()  # warmup/compile
         else:
             # wedged compile service: measure the bit-identical unfused
             # XLA path instead (TPU_ORC_NO_PALLAS escape hatch)
@@ -186,13 +330,13 @@ def main():
             from tpu_orc.demux.demux import _decisions_unfused
             demux_backend = "xla-unfused-fallback"
             fallbacks.append("demux")
-            device_round = lambda: _decisions_unfused(recs, sp5, sp27,
-                                                      CHUNK)
+            demux_round = lambda: _decisions_unfused(recs, sp5, sp27,
+                                                     CHUNK)
             note("demux: XLA fallback warmup ...")
-            device_round()
-        note("demux: timed reps")
-        t_dev, med_dev, disp_dev = best_time(device_round)
-        tpu_rps = B / t_dev
+            demux_round()
+        note("demux: timed reps (adaptive)")
+        adaptive_reps("demux", demux_round, min_reps=5, max_reps=14,
+                      patience=4, section_budget_s=30)
 
         # --- CPU baseline: identical semantics via the C++ oracle,
         # >= 2 s window (adaptive iteration count)
@@ -230,32 +374,49 @@ def main():
         pat[i, :len(c)] = c
         lens[i] = len(c)
     cluster_backend = "pallas"
+    # Sustained window: PIPE dispatches all launched before any fetch —
+    # the shape of the production sorter (one-dispatch sparse all-vs-all
+    # per bin, bins overlapped by bin_workers) and of the pipelined
+    # demux/reorient chunk windows. Amortizes the relay's per-dispatch
+    # latency; the single-dispatch min is recorded alongside.
+    PIPE = 6
     if jax.default_backend() == "cpu":
-        tile_fn = lambda: np.asarray(
+        tile_one = lambda: np.asarray(
             myers.distances(pat, lens, pat, lens))
+        tile_sustained = tile_one
         cluster_backend = "xla-cpu"
     else:  # production scorer path: Pallas kernel, auto-tuned tiles
         # (fetch_pos=False: the NW scorer never reads the position
         # matrix — matches cluster/scoring.py)
         from tpu_orc.align.pallas_myers import distances_pallas
-        tile_fn = lambda: distances_pallas(pat, lens, pat, lens, "NW",
-                                           fetch_pos=False)
+        tile_one = lambda: distances_pallas(pat, lens, pat, lens, "NW",
+                                            fetch_pos=False)
+
+        def tile_sustained():
+            lazies = [distances_pallas(pat, lens, pat, lens, "NW",
+                                       fetch_pos=False, lazy=True)
+                      for _ in range(PIPE)]
+            for d, _ in lazies:
+                np.asarray(d)
+
     if warm == "cluster":
-        tile_fn()
+        tile_one()
         return
     if warm is None:
         if cluster_backend == "pallas" and not guarded_warmup("cluster"):
-            tile_fn = lambda: np.asarray(
+            tile_one = lambda: np.asarray(
                 myers.distances(pat, lens, pat, lens))
+            tile_sustained = tile_one
             cluster_backend = "xla-fallback"
             fallbacks.append("cluster")
         note("cluster: tile warmup/compile ...")
-        tile_fn()  # compile
-        note("cluster: timed reps")
-        t_tile, med_tile, disp_tile = best_time(tile_fn)
-        cells = float(N) * N * np.mean(lens) * np.mean(lens)
-        tpu_cells = cells / t_tile
-        tpu_pairs = N * N / t_tile
+        tile_one()  # compile
+        note("cluster: single-dispatch timed reps (adaptive)")
+        adaptive_reps("cluster1", tile_one, min_reps=6, max_reps=18,
+                      patience=5, section_budget_s=25)
+        note("cluster: sustained pipelined reps (adaptive)")
+        adaptive_reps("cluster", tile_sustained, min_reps=4, max_reps=10,
+                      patience=3, section_budget_s=30)
 
         # CPU all-vs-all on a block large enough for a >= 2 s window
         K = 192  # 18336 pairs x ~230 kcells ~ 4.2 Gcells ~ 0.3 s/iter
@@ -306,18 +467,41 @@ def main():
                   if sort_scorer[0] == "native" else None)
         sres[0] = AmpliconSorter(cfg, scorer=scorer).sort_records(srecs)
 
+    # --- long-read sort fixture (VERDICT r3 next#5): a 1000-read
+    # ~3.5 kb rRNA-scale bin through the full sorter — gene stage +
+    # ladder + consensus at the lengths where the streamed text path
+    # and length-proportional host pileup costs actually show.
+    random.seed(5)
+    lt1 = "".join(random.choice("ACGT") for _ in range(3500))
+    lt2 = mutate(lt1, 450)
+    lrecs = []
+    for k, tmpl in enumerate((lt1, lt2)):
+        for i in range(500):
+            lrecs.append(Record(f"L{k}_{i}", "", mutate(tmpl, 200), None))
+    random.shuffle(lrecs)
+    lres = [None]
+
+    def longsort_once(n: int = 1000):
+        from tpu_orc.cluster.scoring import DeviceScorer
+        cfg = SorterConfig(min_length=300, seed=7)
+        scorer = (DeviceScorer(tile=cfg.tile, backend="native")
+                  if sort_scorer[0] == "native" else None)
+        lres[0] = AmpliconSorter(cfg, scorer=scorer).sort_records(
+            lrecs[:n])
+
     # --- reorient (stage 01, pychopper-equivalent): full Reorienter.run
     # on 8192 M13-structured reads — pipelined INFIX primer scans +
     # host classify/slice (the highest-volume stage: it sees every raw
     # read). Declared before the sort section so --warmup-only can
-    # reach it; timed last (lowest priority under the soft budget).
+    # reach it; timed after it.
     from tpu_orc.demux.reorient import Reorienter, ReorientConfig
     m13 = {}
     from tpu_orc.io.fastq import read_fasta
     for rec in read_fasta(f"{REF}/M13_seqs_for_pychopper.fa"):
         m13[rec.id] = rec.seq.upper()
+    RB = 8192
     rrecs = []
-    for i in range(B):
+    for i in range(RB):
         ins = "".join(rng.choice(list("ACGT"), size=380))
         p5 = "".join(c if c != "N" else str(rng.choice(list("ACGT")))
                      for c in m13["SP5"])
@@ -341,6 +525,14 @@ def main():
     if warm == "sort":
         sort_once()
         return
+    if warm == "longread":
+        longsort_once(256)  # same kernel shapes (tile-bucketed), less wall
+        return
+    if warm == "plate":
+        precs = make_plate(sp5, sp27, n_per_bin=20, n5=3, n27=2)
+        run_plate(precs, "/tmp/orc_bench_plate_warm")
+        return
+
     sort_backend = "pallas-engine"
     if on_accel and not guarded_warmup("sort"):
         sort_scorer[0] = "native"  # host C++ scoring, no device compiles
@@ -349,14 +541,49 @@ def main():
     note("sort e2e: warmup/compile ...")
     sort_once()  # warm/compile
     note("sort e2e: timed reps")
-    t_sort, med_sort, disp_sort = best_time(sort_once, reps=3)
+    timed_reps("sort", sort_once, reps=3)
     n_species = sum(len(g) for g in sres[0].species)
 
-    # --- reorient timing (after the headline sections; skipped when the
-    # soft budget is gone so it can never crowd them out)
-    t_reo = reo_pass = None
-    reorient_backend = "pallas-infix"
-    if time.perf_counter() - _T0 < BUDGET_S * 0.8:
+    # --- multi-device overhead on ONE chip (VERDICT r3 next#6): the
+    # production multi-chip paths (decide_multi / device_parallel_
+    # pairwise) run with devices=[this chip] against the single-chip
+    # calls — converts "per-chip parity by construction" into a number.
+    multidev = {}
+    if on_accel and "demux" not in fallbacks and elapsed() < BUDGET_S * .6:
+        note("multidev: single-chip overhead of multi-device paths")
+        seqs_md = [r.seq for r in recs[:CHUNK]]
+        Lmd = _pick_len(max(len(s) for s in seqs_md), 256)
+        amat, mlens = encode.ascii_matrix(seqs_md, max_len=Lmd)
+        masks_md = encode.read_masks_matrix(amat, mlens)
+        dev0 = jax.devices()[0]
+        one = lambda: fd.decide(masks_md, mlens)
+        multi = lambda: fd.decide_multi(masks_md, mlens, [dev0])
+        one(), multi()  # warm (same compiled shapes as the demux chunks)
+        timed_reps("md_demux_1", one, reps=4, label="decide(single)")
+        timed_reps("md_demux_m", multi, reps=4, label="decide_multi[1dev]")
+        if cluster_backend == "pallas":
+            from tpu_orc.dist.sharded import device_parallel_pairwise
+            pw_one = tile_one
+            pw_multi = lambda: device_parallel_pairwise(
+                [dev0], pat, lens, pat, lens, "NW")
+            pw_multi()  # warm
+            timed_reps("md_pw_1", pw_one, reps=4, label="pairwise(single)")
+            timed_reps("md_pw_m", pw_multi, reps=4,
+                       label="pairwise_multi[1dev]")
+        for nm, a, b in (("demux", "md_demux_1", "md_demux_m"),
+                         ("pairwise", "md_pw_1", "md_pw_m")):
+            t1_, _, _ = stats_of(a)
+            tm_, _, _ = stats_of(b)
+            if t1_ and tm_:
+                multidev[f"{nm}_single_s"] = round(t1_, 3)
+                multidev[f"{nm}_multi1_s"] = round(tm_, 3)
+                multidev[f"{nm}_overhead_pct"] = round(
+                    100.0 * (tm_ / t1_ - 1.0), 1)
+
+    # --- reorient timing
+    reo_pass = None
+    reorient_backend = ("pallas-infix" if on_accel else "xla-infix")
+    if elapsed() < BUDGET_S * 0.8:
         if on_accel and not guarded_warmup("reorient"):
             reorient_backend = "skipped-compile-timeout"
             fallbacks.append("reorient")
@@ -364,10 +591,96 @@ def main():
             note("reorient: warmup/compile ...")
             reorient_round()
             note("reorient: timed reps")
-            t_reo, med_reo, disp_reo = best_time(reorient_round, reps=3)
+            timed_reps("reorient", reorient_round, reps=3)
             reo_pass = reorienter.run(rrecs).stats["pass"]
     else:
         reorient_backend = "skipped-budget"
+
+    # --- sweep pass 2: re-sample the headline sections later in the
+    # run so a bad tunnel phase during pass 1 cannot own their mins.
+    if elapsed() < BUDGET_S * 0.7:
+        note("sweep 2: re-sampling demux/cluster mins")
+        timed_reps("demux", demux_round, reps=3, label="demux(sweep2)")
+        timed_reps("cluster1", tile_one, reps=5, label="cluster1(sweep2)")
+        timed_reps("cluster", tile_sustained, reps=3,
+                   label="cluster(sweep2)")
+        if "reorient" in TIMES:
+            timed_reps("reorient", reorient_round, reps=2,
+                       label="reorient(sweep2)")
+
+    # --- long-read sort e2e (VERDICT r3 next#5)
+    longread_ok = False
+    if elapsed() < BUDGET_S * 0.62:
+        if not on_accel or sort_backend != "pallas-engine" \
+                or guarded_warmup("longread"):
+            note("longread sort: warmup/compile (256-read subset) ...")
+            longsort_once(256)
+            note("longread sort: timed reps (1000 reads x ~3.5 kb)")
+            timed_reps("longsort", lambda: longsort_once(1000), reps=2)
+            longread_ok = True
+        else:
+            fallbacks.append("longread")
+    else:
+        note("longread sort: skipped (budget)")
+
+    # --- plate-scale end-to-end (VERDICT r3 next#2): 96 bins x 80
+    # reads through run_all (reorient -> ... -> 05b), the geometry the
+    # reference actually runs (03_amplicon_sorter.sh:7). One timed run
+    # after a mini-plate warm run compiles the plate-shaped kernels.
+    plate = {}
+    if elapsed() < BUDGET_S * 0.75:
+        if not on_accel or guarded_warmup("plate"):
+            note("plate: generating 96-bin plate (80 reads/bin) ...")
+            precs = make_plate(sp5, sp27, n_per_bin=80)
+            note(f"plate: run_all on {len(precs)} reads ...")
+            t0 = time.perf_counter()
+            rep = run_plate(precs, "/tmp/orc_bench_plate")
+            t_plate = time.perf_counter() - t0
+            bins_found = len(rep.get("barcodes", {}))
+            groups = sum(bc.get("species_groups", 0)
+                         for bc in rep.get("barcodes", {}).values())
+            plate = {
+                "pipeline_plate_wall_s": round(t_plate, 1),
+                "pipeline_plate_reads_per_s": round(len(precs) / t_plate,
+                                                    1),
+                "pipeline_plate_reads": len(precs),
+                "pipeline_plate_bins": bins_found,
+                "pipeline_plate_species_groups": groups,
+            }
+            stage_s = {}
+            for st in rep.get("metrics", {}).get("stages", []):
+                key = str(st.get("stage", "?")).split("/")[0]
+                stage_s[key] = round(
+                    stage_s.get(key, 0.0) + float(st.get("wall_s", 0.0)),
+                    1)
+            plate["pipeline_plate_stage_s"] = stage_s
+            note(f"plate: {t_plate:.1f}s wall, {bins_found} bins, "
+                 f"{groups} species groups")
+        else:
+            fallbacks.append("plate")
+    else:
+        note("plate: skipped (budget)")
+
+    # --- sweep pass 3: final late re-sample of the headline metrics
+    if elapsed() < BUDGET_S * 0.92:
+        note("sweep 3: final re-sampling of cluster/demux mins")
+        timed_reps("cluster1", tile_one, reps=5, label="cluster1(sweep3)")
+        timed_reps("cluster", tile_sustained, reps=3,
+                   label="cluster(sweep3)")
+        timed_reps("demux", demux_round, reps=3, label="demux(sweep3)")
+
+    # ---------------------------------------------------------------
+    t_dev, med_dev, disp_dev = stats_of("demux")
+    tpu_rps = B / t_dev
+    t_sus, med_sus, disp_sus = stats_of("cluster")
+    t_one, med_one, disp_one = stats_of("cluster1")
+    cells = float(N) * N * np.mean(lens) * np.mean(lens)
+    per_sus = t_sus / (PIPE if cluster_backend == "pallas" else 1)
+    tpu_cells = cells / per_sus
+    tpu_pairs = N * N / per_sus
+    t_sort, med_sort, disp_sort = stats_of("sort")
+    t_reo, med_reo, _ = stats_of("reorient")
+    t_lsort, _, _ = stats_of("longsort")
 
     # Baseline framing (VERDICT r1 next#9): cpu_* numbers are ONE core
     # running the in-repo C++ oracle with identical semantics (the
@@ -384,8 +697,10 @@ def main():
         "vs_baseline": round(tpu_rps / cpu_rps, 2),
         "details": {
             "backend": jax.default_backend(),
-            "reps": DEVICE_REPS,
-            "timing": "min over reps (see best_time)",
+            "timing": ("min over all passes; cluster headline = "
+                       f"sustained window of {PIPE} pipelined dispatches"),
+            "demux_batch": B,
+            "demux_reps": len(TIMES.get("demux", [])),
             "demux_median_s": round(med_dev, 3),
             "demux_dispersion": round(disp_dev, 3),
             "cpu_demux_reads_per_s_1core": round(cpu_rps, 1),
@@ -393,8 +708,13 @@ def main():
             "vs_ref_24core": round(tpu_rps / (cpu_rps * 24), 2),
             "cluster_device_cells_per_s": round(tpu_cells, 0),
             "cluster_device_pairs_per_s": round(tpu_pairs, 1),
-            "cluster_median_s": round(med_tile, 3),
-            "cluster_dispersion": round(disp_tile, 3),
+            "cluster_reps": len(TIMES.get("cluster", []))
+            + len(TIMES.get("cluster1", [])),
+            "cluster_median_s": round(med_sus, 3),
+            "cluster_dispersion": round(disp_sus, 3),
+            "cluster_single_dispatch_min_s": round(t_one, 3),
+            "cluster_single_dispatch_cells_per_s": round(cells / t_one, 0),
+            "cluster_single_dispatch_dispersion": round(disp_one, 3),
             "cluster_cpu_cells_per_s_1core": round(cpu_cells, 0),
             "cluster_cpu_window_s": round(t_cpu_aa, 2),
             "cluster_vs_cpu": round(tpu_cells / cpu_cells, 2),
@@ -404,7 +724,13 @@ def main():
             "sort_median_s": round(med_sort, 2),
             "sort_dispersion": round(disp_sort, 3),
             "sort_species_found": n_species,
-            "reorient_reads_per_s": (round(B / t_reo, 1)
+            "sort_longread_e2e_s": (round(t_lsort, 2) if longread_ok
+                                    else None),
+            "sort_longread_len": 3500,
+            "sort_longread_species_found": (
+                sum(len(g) for g in lres[0].species) if longread_ok
+                else None),
+            "reorient_reads_per_s": (round(RB / t_reo, 1)
                                      if t_reo else None),
             "reorient_median_s": (round(med_reo, 3) if t_reo else None),
             "reorient_pass_reads": reo_pass,
@@ -412,9 +738,12 @@ def main():
             "demux_backend": demux_backend,
             "cluster_backend": cluster_backend,
             "sort_backend": sort_backend,
+            "multidev_single_chip": multidev,
             "compile_fallbacks": fallbacks,
+            "wall_s": round(elapsed(), 1),
         },
     }
+    out["details"].update(plate)
     print(json.dumps(out))
 
 

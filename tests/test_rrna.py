@@ -302,7 +302,11 @@ def test_anchor_default_extraction(rng):
     exp18 = len(body18) + len(ANCHOR_18S_END)
     assert abs(len(by18["p"].seq) - exp18) <= 3     # indel-free edits
     assert by18["p"].strand == "+" and by18["m"].strand == "-"
-    exp28 = len(ANCHOR_28S_START) + len(body28)
+    # the detector extrapolates the documented ANCHOR_28S_LEAD (40 nt of
+    # unconserved 28S 5' leader + core ahead of the NL1 site) upstream
+    # of the anchor — the true ITS2/28S junction (r4 bias fix)
+    from tpu_orc.rrna.anchors import ANCHOR_28S_LEAD
+    exp28 = ANCHOR_28S_LEAD + len(ANCHOR_28S_START) + len(body28)
     assert abs(len(by28["p"].seq) - exp28) <= 3
     # - strand sequences come out reoriented to the gene sense
     assert by18["m"].seq == by18["p"].seq
@@ -521,9 +525,14 @@ def _realistic_rrna_contig(rng, subs=2, dels=1):
            for b in EUK_SSU_BLOCKS]
     lsu = [_block_edit(rng, expand(b[1]), subs, dels)
            for b in EUK_LSU_BLOCKS]
+    # 28S begins with its documented 25 nt UNCONSERVED leader ahead of
+    # the LSU 5' core (profiles.py module docstring) — the junction is
+    # at the leader start, which the detector extrapolates
+    lead = EUK_LSU_BLOCKS[0][2]
     contig = (pad(50) + ssu[0] + pad(480) + ssu[1] + pad(1040) + ssu[2]
               + pad(140) + ssu[3]
               + pad(180) + pad(160) + pad(250)      # ITS1 | 5.8S | ITS2
+              + pad(lead)
               + lsu[0] + pad(540) + lsu[1] + pad(290) + lsu[2] + pad(300))
     j18 = 50 + sum(map(len, ssu)) + 480 + 1040 + 140
     j28 = j18 + 180 + 160 + 250
@@ -603,7 +612,10 @@ def test_block_profile_falls_back_to_anchor():
     h18, h28 = hits["18S"][0], hits["28S"][0]
     assert h18.score <= 1.0 and h28.score <= 1.0   # identity scale
     assert abs(h18.end - (400 + len(j18))) <= 2
-    assert abs(h28.start - (400 + len(j18) + 250)) <= 2
+    # anchor fallback extrapolates the documented 40 nt lead (r4)
+    from tpu_orc.rrna.anchors import ANCHOR_28S_LEAD
+    assert abs(h28.start
+               - (400 + len(j18) + 250 - ANCHOR_28S_LEAD)) <= 2
 
 
 def test_block_profile_no_new_false_positives():

@@ -26,12 +26,17 @@ rest on — real, citable biology, not module-invented constants:
 28S (LSU), sense strand:
 
 * 5' conserved core ``ACCCGCTGAAYTTAAGCATATCAATAAGCGGAGGAAAAG``
-  (~pos 25-63) — one contiguous stretch containing the LR0R site
-  (Vilgalys lab; the reference's own F63.2 primer anneals here,
-  RNA_primers.fa:7-8) immediately followed by the NL1/ITS4-rc site
-  (O'Donnell 1993; White et al. 1990). THIS block's match start is the
-  ITS2/28S junction (within ~25 nt of the true 28S 5' end, same
-  approximation as the r2 anchor split).
+  (gene pos 25-63) — one contiguous stretch containing the LR0R site
+  (Vilgalys lab; the reference's own F63.2 primer anneals here — named
+  for its 3' position 63 in standard LSU numbering, RNA_primers.fa:7-8)
+  immediately followed by the NL1/ITS4-rc site (O'Donnell 1993; White
+  et al. 1990). The ITS2/28S junction is the documented 25 nt
+  (= the block's gene position) UPSTREAM of this block's match start —
+  the first 25 nt of eukaryotic 28S are not conserved enough to anchor
+  on, so the detector extrapolates the lead (r4; previously the call
+  landed at the core, a structural +25 nt bias). Measured accuracy on
+  realistic noisy full-length rDNA: median junction error <= 10 nt,
+  p90 <= 25 nt at 5-8% read noise (tests/test_rrna_accuracy.py).
 * D2 3' flank       ``CCGTCTTGAAACACGGACC``        (~pos 616)
   — reverse complement of the universal NL4/LR3-region primer.
 * LR5 site (rc)     ``CGAAGTTTCCCTCAGGA``          (~pos 933)
@@ -248,7 +253,10 @@ def find_rrna_default(records: Sequence[Record],
         score18 = 0.0
         if (s18.score[k] >= min_score
                 and int(s18.node[k]) >= p18.K - len18_last):
-            end18 = int(s18.pos[k])
+            # the ITS1 site's 3' end IS the junction; if the local path
+            # ends early inside the terminal block (noisy tail trimmed),
+            # extrapolate the unmatched remainder of the site
+            end18 = int(s18.pos[k]) + (p18.K - 1 - int(s18.node[k]))
             score18 = float(s18.score[k])
         elif ident[0, k] >= min_anchor_identity:
             end18 = int(end_pos[0, k])
@@ -258,15 +266,22 @@ def find_rrna_default(records: Sequence[Record],
             out["18S"].append(RRNAHit("18S", rec.id, s, e, strand,
                                       score18, seq[:end18]))
 
-        # --- 28S: suffix from the junction ---------------------------------
+        # --- 28S: suffix from the junction — the documented lead ahead
+        # of the matched conserved core (module docstring) -----------------
         start28 = None
         score28 = 0.0
+        lsu_lead = EUK_LSU_BLOCKS[0][2]  # gene pos of the 5' core block
         if (s28.score[k] >= min_score
                 and int(s28.node[k]) >= p28.K - len28_first):
-            start28 = max(0, tl - int(s28.pos[k]))
+            # reversed-scan end node <-> forward start node: if the
+            # local path starts a few nodes INTO the core (noisy lead
+            # trimmed), those nodes extend the extrapolated lead too
+            o = p28.K - 1 - int(s28.node[k])
+            start28 = max(0, tl - int(s28.pos[k]) - lsu_lead - o)
             score28 = float(s28.score[k])
         elif ident[1, k] >= min_anchor_identity:
-            start28 = max(0, tl - int(rend_pos[1, k]))
+            from .anchors import ANCHOR_28S_LEAD
+            start28 = max(0, tl - int(rend_pos[1, k]) - ANCHOR_28S_LEAD)
             score28 = float(ident[1, k])
         if start28 is not None and n - start28 >= min_len:
             s, e = (start28, n) if strand == "+" else (0, n - start28)

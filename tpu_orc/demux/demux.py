@@ -129,6 +129,40 @@ def locate_batch(bank: AdapterBank, seqs: Sequence[str], flags,
         locate_batch_lazy(bank, seqs, flags, min_overlap, encoder))
 
 
+# Batches at or below this many (read x adapter) cells' worth of reads
+# route to the in-repo C++ locate instead of a device dispatch: on the
+# tunneled link one dispatch costs 60-120 ms of relay latency, while a
+# handful of contigs against a primer pair is microseconds of host DP
+# with bit-identical semantics (parity-tested, tests/test_native.py).
+# Stage 04 is the main beneficiary: one consensus contig per barcode
+# bin x 96 bins was ~18 s of summed dispatch latency per plate.
+NATIVE_SMALL_READS = int(os.environ.get("TPU_ORC_NATIVE_SMALL_READS",
+                                        "16"))
+
+
+def _locate_native_small(bank: AdapterBank, seqs, flags, min_overlap,
+                         encoder):
+    """LocateResult via the C++ oracle, or None if not applicable."""
+    from ..align.batched import LocateResult
+    if len(seqs) == 0 or len(seqs) > NATIVE_SMALL_READS:
+        return None
+    if getattr(bank, "_custom_k", False):
+        return None  # bank overrides the floor(e*eff) rule (reorient)
+    try:
+        from .. import native
+        ref_masks = [encode.encode_ref_masks(s) for s in bank.seqs]
+        qm = [encoder(s) for s in seqs]
+        out, valid = native.locate_batch(ref_masks, qm,
+                                         bank.max_error_rate, int(flags),
+                                         min_overlap, nthreads=1)
+    except Exception:
+        return None
+    return LocateResult(valid=valid.astype(np.int32),
+                        matches=out[:, :, 4], errors=out[:, :, 5],
+                        refstart=out[:, :, 0], refstop=out[:, :, 1],
+                        querystart=out[:, :, 2], querystop=out[:, :, 3])
+
+
 def locate_batch_lazy(bank: AdapterBank, seqs: Sequence[str], flags,
                       min_overlap: int = DEFAULT_MIN_OVERLAP,
                       encoder=encode.encode_read_masks):
@@ -139,7 +173,11 @@ def locate_batch_lazy(bank: AdapterBank, seqs: Sequence[str], flags,
     dispatch every chunk of a stage before fetching any (reorient is
     the high-volume consumer: it scans ALL raw reads); on the XLA
     fallback the result is computed eagerly and the handle is a
-    pass-through (identical semantics, no pipelining)."""
+    pass-through (identical semantics, no pipelining). Tiny batches
+    short-circuit to the C++ oracle (see NATIVE_SMALL_READS)."""
+    small = _locate_native_small(bank, seqs, flags, min_overlap, encoder)
+    if small is not None:
+        return ("done", small)
     L = _bucket_pad(max((len(s) for s in seqs), default=1))
     # vectorized packing for the two standard encoders (identical
     # lookup tables; pack_batch kept for custom encoders)

@@ -143,6 +143,8 @@ def build_primer_bank(primer_fasta: str, q: float
     k = np.floor((1.0 - q) * bank.lens.astype(np.float64)).astype(
         np.int32)
     bank.k_table[:] = k[:, None]  # constant per primer, full-length key
+    bank._custom_k = True  # opts out of the native small-batch locate,
+    # which applies the standard floor(e*eff) rule (demux/demux.py)
     return bank, [p[0] for p in pairs]
 
 

@@ -125,14 +125,29 @@ def stage_demux(in_fastq: str, outdir: str, dataset: str,
                             mesh=mesh if mesh is not None else cfg.mesh())
 
 
+# Bins at or below this many total nucleotides sort with the native C++
+# scorer instead of device dispatches: a small bin's ~20 ladder-step
+# dispatches are pure relay latency (~60-120 ms each) while the whole
+# bin's DP is milliseconds of host compute with BIT-IDENTICAL results
+# (parity-tested backend, cluster/scoring.py). ~125 COI reads or ~17
+# rRNA reads; a 96-bin plate of 80-read bins spent ~0.5 s/bin on
+# dispatch latency before this.
+NATIVE_SMALL_BIN_NT = int(os.environ.get("TPU_ORC_NATIVE_SMALL_BIN_NT",
+                                         "60000"))
+
+
 def stage_sort(bin_fastq: str, outdir: str, barcode: str, prefix: str,
                cfg: PipelineConfig, mesh=None, save_fastq: bool = False,
                compressed: bool = False):
     from ..cluster.scoring import DeviceScorer
     records = list(read_records(bin_fastq))
     mesh = mesh if mesh is not None else cfg.mesh()
-    scorer = DeviceScorer(tile=cfg.sorter.tile, mesh=mesh) \
-        if mesh is not None else None
+    if mesh is not None:
+        scorer = DeviceScorer(tile=cfg.sorter.tile, mesh=mesh)
+    elif sum(len(r.seq) for r in records) <= NATIVE_SMALL_BIN_NT:
+        scorer = DeviceScorer(tile=cfg.sorter.tile, backend="native")
+    else:
+        scorer = None  # engine default (Pallas on accelerators)
     sorter = AmpliconSorter(cfg.sorter, scorer=scorer)
     result = sorter.sort_records(records)
     sorted_dir = os.path.join(outdir, "sorted", barcode)

@@ -41,7 +41,12 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-os.environ["ORC_THREADS"] = "1"  # single-core CPU baseline, pinned
+# CPU-baseline calls pin themselves with explicit nthreads=1 arguments;
+# the PRODUCT sections (sort/longread/plate native scoring + pileup)
+# use the host's cores like any deployment would — pinning them too
+# (as r2/r3 did with a global ORC_THREADS=1) understated the product
+# against a reference that budgets 12-24 cores.
+os.environ.pop("ORC_THREADS", None)
 
 import sys
 
@@ -153,7 +158,11 @@ def cpu_window(fn, min_s: float = CPU_WINDOW_S, max_iters: int = 1000):
             return el, n
 
 
-WARMUP_TIMEOUT_S = float(os.environ.get("ORC_WARMUP_TIMEOUT_S", "600"))
+# Good-phase cold compiles of a section's kernels take 20-120 s; a
+# wedged compile RPC never returns. 420 s passes every observed real
+# compile while keeping the worst case (wedge on every section, retry
+# included) within the run budget's failure path.
+WARMUP_TIMEOUT_S = float(os.environ.get("ORC_WARMUP_TIMEOUT_S", "420"))
 
 
 def guarded_warmup(section: str, tries: int = 2) -> bool:
@@ -167,14 +176,19 @@ def guarded_warmup(section: str, tries: int = 2) -> bool:
     to the labeled XLA/native variant and still records numbers."""
     import subprocess
     for attempt in range(tries):
+        # once one compile has wedged, later sections' compiles are in
+        # the same service phase: probe with a short timeout (still
+        # catches cache-hit warms, which return in seconds) instead of
+        # paying the full window per section
+        limit = 120.0 if _WEDGE_SEEN[0] else WARMUP_TIMEOUT_S
         note(f"{section}: guarded warmup (child, <= "
-             f"{WARMUP_TIMEOUT_S:.0f}s, try {attempt + 1}/{tries})")
+             f"{limit:.0f}s, try {attempt + 1}/{tries})")
         t0 = time.perf_counter()
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--warmup-only", section],
-                timeout=WARMUP_TIMEOUT_S, stdout=subprocess.DEVNULL,
+                timeout=limit, stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL)
             ok = r.returncode == 0
         except subprocess.TimeoutExpired:
@@ -186,10 +200,18 @@ def guarded_warmup(section: str, tries: int = 2) -> bool:
             return True
         # a fast non-zero exit is a transient child failure (OOM spike,
         # service hiccup), not a wedged compile — one retry is cheap
-        # compared to demoting the whole section to its fallback path
+        # compared to demoting the whole section to its fallback path.
+        # A TIMED-OUT child means a wedged compile phase: don't retry
+        # (the retry would just eat another full window).
+        if time.perf_counter() - t0 >= limit * 0.95:
+            _WEDGE_SEEN[0] = True
+            break
         if elapsed() > BUDGET_S * 0.8:
             break
     return False
+
+
+_WEDGE_SEEN = [False]
 
 
 # ---------------------------------------------------------------------------

@@ -151,8 +151,11 @@ def _kernel(mode, W, TI, TJ, N, unroll,
 
 
 #: stream texts through [NC_MAX, TJ] VMEM blocks beyond this many rows;
-#: bounds the text block so long-read buckets (>= 4 kb) cannot blow VMEM
-NC_MAX = 2048
+#: bounds the text block so long-read buckets cannot blow VMEM. r4 sweep:
+#: raising 2048 -> 4096 keeps 3.5 kb buckets UNSTREAMED (3,282 Gcells/s
+#: at TI=16/TJ=256 vs 826 streamed) and is neutral at 8 kb (1,699 with
+#: 2x4096 chunks vs 1,720 with 4x2048).
+NC_MAX = 4096
 
 
 @functools.partial(jax.jit,
@@ -377,11 +380,15 @@ def tile_shape(W: int, TI: int | None = None, TJ: int | None = None):
     r2 sweep at W=16 (512 bp), 1024x1024 pairs: 32x512 = 969 Gcells/s,
     64x256 = 867, 64x512 = 860, 128x256 = 843, 32x256 = 715. Wider lanes
     win until the [2, W, TI, TJ] uint32 scratch presses VMEM; shrink TJ
-    as W grows (W=56 @ 32x256 -> 7.3 MB, W=128 @ 32x128 -> 8.4 MB)."""
+    as W grows. r4 sweep at W=112 (3.5 kb), unstreamed: 16x256 = 3,282
+    Gcells/s vs 16x128 = 826 and 32x128 = 738 — so the 56 < W <= 114
+    band (1.8-3.6 kb, the rRNA amplicon range) keeps TJ=256 with TI=16
+    (scratch 2*W*16*256*4 <= ~15 MB at the W=114 bound); beyond that
+    the scratch forces TJ=128."""
     if TI is None:
-        TI = 32 if W <= 128 else 16   # keep 2*W*TI*TJ*4B scratch < VMEM
+        TI = 32 if W <= 56 else 16
     if TJ is None:
-        TJ = 512 if W <= 24 else (256 if W <= 56 else 128)
+        TJ = 512 if W <= 24 else (256 if W <= 114 else 128)
     return TI, TJ
 
 

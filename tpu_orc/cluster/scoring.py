@@ -242,17 +242,16 @@ class DeviceScorer:
         for r0 in range(0, R, self.R_CHUNK):
             r1 = min(r0 + self.R_CHUNK, R)
             sub = [np.asarray(x) for x in read_codes[r0:r1]]
-            rc = [encode.revcomp_codes(x) for x in sub]
-            # fwd block at rows [0, R_CHUNK), rc block at [R_CHUNK, 2R_CHUNK)
-            rp = np.full((2 * self.R_CHUNK, L), 4, dtype=np.uint8)
-            rl = np.ones(2 * self.R_CHUNK, dtype=np.int32)
+            rp = np.full((self.R_CHUNK, L), 4, dtype=np.uint8)
+            rl = np.ones(self.R_CHUNK, dtype=np.int32)
             for k, x in enumerate(sub):
                 m = min(len(x), L)
                 rp[k, :m] = x[:m]
                 rl[k] = max(m, 1)
-                y = rc[k]
-                rp[self.R_CHUNK + k, :m] = y[:m]
-                rl[self.R_CHUNK + k] = max(m, 1)
+            rp_rc = None  # built lazily: rc is consulted only for
+            # sf < 0.5 pairs (reference :1698-1708), rare in a
+            # reoriented bin — scoring the rc rows in every ladder
+            # dispatch (as r3 did) doubled the device work
             for c0 in range(0, C, self.C_CHUNK):
                 c1 = min(c0 + self.C_CHUNK, C)
                 cp, cl = pack_codes(cons_codes[c0:c1], cap=L,
@@ -260,12 +259,24 @@ class DeviceScorer:
                 D = self._tile_distances(cp, cl, rp, rl)
                 nr = r1 - r0
                 Df = D[:c1 - c0, :nr].T
-                Dr = D[:c1 - c0, self.R_CHUNK:self.R_CHUNK + nr].T
                 longer = np.maximum(rlen[r0:r1, None], clen[None, c0:c1])
                 sf = np.round(1.0 - Df / longer, 3)
-                sr = np.round(1.0 - Dr / longer, 3)
-                eff = np.where(sf < 0.5, np.maximum(sf, sr), sf)
-                self.pairs_scored += 2 * nr * (c1 - c0)
+                self.pairs_scored += nr * (c1 - c0)
+                low = sf < 0.5
+                if low.any():
+                    if rp_rc is None:
+                        rp_rc = np.full_like(rp, 4)
+                        for k, x in enumerate(sub):
+                            y = encode.revcomp_codes(x)
+                            m = min(len(y), L)
+                            rp_rc[k, :m] = y[:m]
+                    D2 = self._tile_distances(cp, cl, rp_rc, rl)
+                    Dr = D2[:c1 - c0, :nr].T
+                    sr = np.round(1.0 - Dr / longer, 3)
+                    self.pairs_scored += nr * (c1 - c0)
+                    eff = np.where(low, np.maximum(sf, sr), sf)
+                else:
+                    eff = sf
                 lo = np.minimum(rlen[r0:r1, None], clen[None, c0:c1])
                 out[r0:r1, c0:c1] = np.where(lo * band >= longer, eff,
                                              np.nan)

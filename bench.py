@@ -65,6 +65,17 @@ def elapsed() -> float:
     return time.perf_counter() - _T0
 
 
+# wall seconds spent inside guarded warmup children — compile time, not
+# measurement time. Budget gates use work_elapsed() so a slow-compile
+# service phase (observed: 320 s for a previously-cached program)
+# cannot starve the later metric sections of their budget.
+_WARMUP_SPENT = [0.0]
+
+
+def work_elapsed() -> float:
+    return elapsed() - _WARMUP_SPENT[0]
+
+
 def note(msg: str) -> None:
     """Progress marker on stderr (the JSON contract owns stdout) so a
     stalled driver run shows WHERE the tunnel is stuck."""
@@ -139,7 +150,7 @@ def adaptive_reps(name: str, fn, min_reps: int, max_reps: int,
             note(f"  {name}: section budget {section_budget_s:.0f}s "
                  f"exhausted after {n} reps")
             break
-        if elapsed() > BUDGET_S and n >= 3:
+        if work_elapsed() > BUDGET_S and n >= 3:
             note(f"  {name}: global budget exceeded after {n} reps")
             break
 
@@ -193,6 +204,7 @@ def guarded_warmup(section: str, tries: int = 2) -> bool:
             ok = r.returncode == 0
         except subprocess.TimeoutExpired:
             ok = False
+        _WARMUP_SPENT[0] += time.perf_counter() - t0
         note(f"{section}: guarded warmup "
              f"{'ok' if ok else 'TIMED OUT / FAILED'} "
              f"({time.perf_counter() - t0:.0f}s)")
@@ -206,7 +218,7 @@ def guarded_warmup(section: str, tries: int = 2) -> bool:
         if time.perf_counter() - t0 >= limit * 0.95:
             _WEDGE_SEEN[0] = True
             break
-        if elapsed() > BUDGET_S * 0.8:
+        if work_elapsed() > BUDGET_S * 0.8:
             break
     return False
 
@@ -571,7 +583,7 @@ def main():
     # pairwise) run with devices=[this chip] against the single-chip
     # calls — converts "per-chip parity by construction" into a number.
     multidev = {}
-    if on_accel and "demux" not in fallbacks and elapsed() < BUDGET_S * .6:
+    if on_accel and "demux" not in fallbacks and work_elapsed() < BUDGET_S * .6:
         note("multidev: single-chip overhead of multi-device paths")
         seqs_md = [r.seq for r in recs[:CHUNK]]
         Lmd = _pick_len(max(len(s) for s in seqs_md), 256)
@@ -605,7 +617,7 @@ def main():
     # --- reorient timing
     reo_pass = None
     reorient_backend = ("pallas-infix" if on_accel else "xla-infix")
-    if elapsed() < BUDGET_S * 0.8:
+    if work_elapsed() < BUDGET_S * 0.8:
         if on_accel and not guarded_warmup("reorient"):
             reorient_backend = "skipped-compile-timeout"
             fallbacks.append("reorient")
@@ -620,7 +632,7 @@ def main():
 
     # --- sweep pass 2: re-sample the headline sections later in the
     # run so a bad tunnel phase during pass 1 cannot own their mins.
-    if elapsed() < BUDGET_S * 0.7:
+    if work_elapsed() < BUDGET_S * 0.7:
         note("sweep 2: re-sampling demux/cluster mins")
         timed_reps("demux", demux_round, reps=3, label="demux(sweep2)")
         timed_reps("cluster1", tile_one, reps=5, label="cluster1(sweep2)")
@@ -632,7 +644,7 @@ def main():
 
     # --- long-read sort e2e (VERDICT r3 next#5)
     longread_ok = False
-    if elapsed() < BUDGET_S * 0.62:
+    if work_elapsed() < BUDGET_S * 0.62:
         if not on_accel or sort_backend != "pallas-engine" \
                 or guarded_warmup("longread"):
             note("longread sort: warmup/compile (256-read subset) ...")
@@ -650,7 +662,7 @@ def main():
     # reference actually runs (03_amplicon_sorter.sh:7). One timed run
     # after a mini-plate warm run compiles the plate-shaped kernels.
     plate = {}
-    if elapsed() < BUDGET_S * 0.75:
+    if work_elapsed() < BUDGET_S * 0.75:
         if not on_accel or guarded_warmup("plate"):
             note("plate: generating 96-bin plate (80 reads/bin) ...")
             precs = make_plate(sp5, sp27, n_per_bin=80)
@@ -683,8 +695,71 @@ def main():
     else:
         note("plate: skipped (budget)")
 
+    # --- late rescue: a section that fell back because its compile
+    # child timed out may only have hit a transient bad service phase
+    # (observed: a wedge at 22:30 compiled fine at 23:00). Retry the
+    # real backend once, late in the run; on success the fallback's
+    # timings are DISCARDED (they measured a different backend) and the
+    # section re-times on the production path.
+    if on_accel and fallbacks and work_elapsed() < BUDGET_S * 0.85:
+        if "demux" in fallbacks and guarded_warmup("demux", tries=1):
+            note("late rescue: demux back on the fused-pallas path")
+            os.environ.pop("TPU_ORC_NO_PALLAS", None)
+            demux_round = lambda: fd.assign(recs, batch_size=CHUNK)
+            demux_round()  # warm
+            TIMES.pop("demux", None)
+            adaptive_reps("demux", demux_round, min_reps=4, max_reps=10,
+                          patience=3, section_budget_s=25)
+            demux_backend = "fused-pallas"
+            fallbacks.remove("demux")
+            fallbacks.append("demux-rescued-late")
+        if "cluster" in fallbacks and guarded_warmup("cluster", tries=1):
+            note("late rescue: cluster back on the pallas kernel")
+            from tpu_orc.align.pallas_myers import distances_pallas
+            tile_one = lambda: distances_pallas(
+                pat, lens, pat, lens, "NW", fetch_pos=False)
+
+            def tile_sustained():
+                lazies = [distances_pallas(pat, lens, pat, lens, "NW",
+                                           fetch_pos=False, lazy=True)
+                          for _ in range(PIPE)]
+                for dd, _ in lazies:
+                    np.asarray(dd)
+
+            tile_one()  # warm
+            TIMES.pop("cluster", None)
+            TIMES.pop("cluster1", None)
+            adaptive_reps("cluster1", tile_one, min_reps=5, max_reps=12,
+                          patience=4, section_budget_s=20)
+            adaptive_reps("cluster", tile_sustained, min_reps=3,
+                          max_reps=8, patience=3, section_budget_s=25)
+            cluster_backend = "pallas"
+            fallbacks.remove("cluster")
+            fallbacks.append("cluster-rescued-late")
+        if "reorient" in fallbacks and guarded_warmup("reorient",
+                                                      tries=1):
+            note("late rescue: reorient back on the pallas-infix path")
+            reorient_round()  # warm
+            TIMES.pop("reorient", None)
+            timed_reps("reorient", reorient_round, reps=3,
+                       label="reorient(rescued)")
+            reo_pass = reorienter.run(rrecs).stats["pass"]
+            reorient_backend = "pallas-infix"
+            fallbacks.remove("reorient")
+            fallbacks.append("reorient-rescued-late")
+        if "sort" in fallbacks and guarded_warmup("sort", tries=1):
+            note("late rescue: sort back on the pallas engine")
+            sort_scorer[0] = None
+            sort_once()  # warm
+            TIMES.pop("sort", None)
+            timed_reps("sort", sort_once, reps=3, label="sort(rescued)")
+            n_species = sum(len(g) for g in sres[0].species)
+            sort_backend = "pallas-engine"
+            fallbacks.remove("sort")
+            fallbacks.append("sort-rescued-late")
+
     # --- sweep pass 3: final late re-sample of the headline metrics
-    if elapsed() < BUDGET_S * 0.92:
+    if work_elapsed() < BUDGET_S * 0.92:
         note("sweep 3: final re-sampling of cluster/demux mins")
         timed_reps("cluster1", tile_one, reps=5, label="cluster1(sweep3)")
         timed_reps("cluster", tile_sustained, reps=3,

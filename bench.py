@@ -85,10 +85,13 @@ def note(msg: str) -> None:
 # Every section's raw per-rep times accumulate here across passes; the
 # reported numbers merge ALL passes (min / median / dispersion).
 TIMES: dict = {}
+PASSES: dict = {}   # parallel: which sweep pass each rep belongs to
+CUR_PASS = [1]      # bumped at each sweep boundary
 
 
 def record(name: str, t: float) -> None:
     TIMES.setdefault(name, []).append(t)
+    PASSES.setdefault(name, []).append(CUR_PASS[0])
 
 
 def stats_of(name: str):
@@ -107,6 +110,22 @@ def stats_of(name: str):
     med = float(np.median(ts))
     disp = (max(ts) - min(ts)) / med if med > 0 else 0.0
     return float(min(ts)), med, disp
+
+
+def best_pass_dispersion(name: str):
+    """Dispersion WITHIN the sweep pass containing the min rep. The
+    merged dispersion mixes service phases that may be hours apart (a
+    run straddling a slow phase legitimately shows 2-3x spread between
+    passes); the within-pass number is the like-for-like repeatability
+    of the winning measurement."""
+    ts = TIMES.get(name, [])
+    if not ts:
+        return None
+    ps = PASSES[name]
+    best_pass = ps[int(np.argmin(ts))]
+    sel = [t for t, p in zip(ts, ps) if p == best_pass]
+    med = float(np.median(sel))
+    return (max(sel) - min(sel)) / med if med > 0 else 0.0
 
 
 def timed_reps(name: str, fn, reps: int, label: str = "") -> None:
@@ -176,6 +195,17 @@ def cpu_window(fn, min_s: float = CPU_WINDOW_S, max_iters: int = 1000):
 WARMUP_TIMEOUT_S = float(os.environ.get("ORC_WARMUP_TIMEOUT_S", "420"))
 
 
+# Total wall the run may spend inside warmup children before they are
+# demoted to 120 s probes. Slow-but-working service phases compile a
+# section's kernels in 200-420 s; a section with SEVERAL fresh shapes
+# (longread, plate) can legitimately need a timed-out first child plus
+# a retry — the server-side compile cache accumulates progress across
+# children, so a retry resumes where the timeout left off. Only a true
+# wedge burns the whole allowance, after which every remaining section
+# still gets a cheap cache-hit probe.
+WARMUP_TOTAL_S = float(os.environ.get("ORC_WARMUP_TOTAL_S", "1800"))
+
+
 def guarded_warmup(section: str, tries: int = 2) -> bool:
     """Compile this section's device program in a BOUNDED child process.
 
@@ -187,11 +217,8 @@ def guarded_warmup(section: str, tries: int = 2) -> bool:
     to the labeled XLA/native variant and still records numbers."""
     import subprocess
     for attempt in range(tries):
-        # once one compile has wedged, later sections' compiles are in
-        # the same service phase: probe with a short timeout (still
-        # catches cache-hit warms, which return in seconds) instead of
-        # paying the full window per section
-        limit = 120.0 if _WEDGE_SEEN[0] else WARMUP_TIMEOUT_S
+        limit = (WARMUP_TIMEOUT_S if _WARMUP_SPENT[0] < WARMUP_TOTAL_S
+                 else 120.0)
         note(f"{section}: guarded warmup (child, <= "
              f"{limit:.0f}s, try {attempt + 1}/{tries})")
         t0 = time.perf_counter()
@@ -210,20 +237,11 @@ def guarded_warmup(section: str, tries: int = 2) -> bool:
              f"({time.perf_counter() - t0:.0f}s)")
         if ok:
             return True
-        # a fast non-zero exit is a transient child failure (OOM spike,
-        # service hiccup), not a wedged compile — one retry is cheap
-        # compared to demoting the whole section to its fallback path.
-        # A TIMED-OUT child means a wedged compile phase: don't retry
-        # (the retry would just eat another full window).
-        if time.perf_counter() - t0 >= limit * 0.95:
-            _WEDGE_SEEN[0] = True
-            break
-        if work_elapsed() > BUDGET_S * 0.8:
-            break
+        # retry both failure classes while the allowance lasts: a fast
+        # non-zero exit is a transient child failure; a timeout either
+        # hit a slow-compile phase (the retry RESUMES from the compile
+        # cache) or a true wedge (bounded by WARMUP_TOTAL_S overall)
     return False
-
-
-_WEDGE_SEEN = [False]
 
 
 # ---------------------------------------------------------------------------
@@ -390,6 +408,7 @@ def main():
         note("demux: CPU baseline window")
         t_cpu, n_iter = cpu_window(cpu_demux)
         cpu_rps = (n_iter * n_cpu / 2) / t_cpu  # fwd+rc, both rounds
+        cpu_rps_windows = [round(cpu_rps, 1)]
 
     # --- clustering: device Myers all-vs-all tile vs C++ Myers
     # (1024 reads ~ the reference's 1000-read all-vs-all blocks,
@@ -463,6 +482,7 @@ def main():
         t_cpu_aa, n_aa = cpu_window(cpu_aa)
         n_cpu_pairs = int((D[0] >= 0).sum()) * n_aa
         cpu_cells = float(n_cpu_pairs) * np.mean(lens) ** 2 / t_cpu_aa
+        cpu_cells_windows = [round(cpu_cells, 0)]
 
     # --- clustering end-to-end: full engine on one 1000-read 2-species
     # bin (the reference's SLURM-array unit of work)
@@ -632,6 +652,7 @@ def main():
 
     # --- sweep pass 2: re-sample the headline sections later in the
     # run so a bad tunnel phase during pass 1 cannot own their mins.
+    CUR_PASS[0] = 2
     if work_elapsed() < BUDGET_S * 0.7:
         note("sweep 2: re-sampling demux/cluster mins")
         timed_reps("demux", demux_round, reps=3, label="demux(sweep2)")
@@ -758,13 +779,26 @@ def main():
             fallbacks.remove("sort")
             fallbacks.append("sort-rescued-late")
 
-    # --- sweep pass 3: final late re-sample of the headline metrics
+    # --- sweep pass 3: final late re-sample of the headline metrics,
+    # plus second CPU baseline windows — the 2-core host's 1-core rate
+    # itself swings ~30% between phases, so the ratios use the FASTEST
+    # observed CPU window (conservative for the device-vs-CPU claim)
+    CUR_PASS[0] = 3
     if work_elapsed() < BUDGET_S * 0.92:
         note("sweep 3: final re-sampling of cluster/demux mins")
         timed_reps("cluster1", tile_one, reps=5, label="cluster1(sweep3)")
         timed_reps("cluster", tile_sustained, reps=3,
                    label="cluster(sweep3)")
         timed_reps("demux", demux_round, reps=3, label="demux(sweep3)")
+        note("late CPU baseline windows")
+        t_cpu2, n_iter2 = cpu_window(cpu_demux)
+        cpu_rps_windows.append(round((n_iter2 * n_cpu / 2) / t_cpu2, 1))
+        cpu_rps = max(cpu_rps, cpu_rps_windows[-1])
+        t_aa2, n_aa2 = cpu_window(cpu_aa)
+        cc2 = float(int((D[0] >= 0).sum()) * n_aa2) \
+            * np.mean(lens) ** 2 / t_aa2
+        cpu_cells_windows.append(round(cc2, 0))
+        cpu_cells = max(cpu_cells, cc2)
 
     # ---------------------------------------------------------------
     t_dev, med_dev, disp_dev = stats_of("demux")
@@ -800,7 +834,10 @@ def main():
             "demux_reps": len(TIMES.get("demux", [])),
             "demux_median_s": round(med_dev, 3),
             "demux_dispersion": round(disp_dev, 3),
+            "demux_bestpass_dispersion": round(
+                best_pass_dispersion("demux"), 3),
             "cpu_demux_reads_per_s_1core": round(cpu_rps, 1),
+            "cpu_demux_windows": cpu_rps_windows,
             "cpu_demux_window_s": round(t_cpu, 2),
             "vs_ref_24core": round(tpu_rps / (cpu_rps * 24), 2),
             "cluster_device_cells_per_s": round(tpu_cells, 0),
@@ -809,10 +846,13 @@ def main():
             + len(TIMES.get("cluster1", [])),
             "cluster_median_s": round(med_sus, 3),
             "cluster_dispersion": round(disp_sus, 3),
+            "cluster_bestpass_dispersion": round(
+                best_pass_dispersion("cluster"), 3),
             "cluster_single_dispatch_min_s": round(t_one, 3),
             "cluster_single_dispatch_cells_per_s": round(cells / t_one, 0),
             "cluster_single_dispatch_dispersion": round(disp_one, 3),
             "cluster_cpu_cells_per_s_1core": round(cpu_cells, 0),
+            "cluster_cpu_windows": cpu_cells_windows,
             "cluster_cpu_window_s": round(t_cpu_aa, 2),
             "cluster_vs_cpu": round(tpu_cells / cpu_cells, 2),
             "cluster_vs_ref_12core": round(tpu_cells / (cpu_cells * 12),

@@ -728,7 +728,7 @@ def main():
             os.environ.pop("TPU_ORC_NO_PALLAS", None)
             demux_round = lambda: fd.assign(recs, batch_size=CHUNK)
             demux_round()  # warm
-            TIMES.pop("demux", None)
+            TIMES.pop("demux", None); PASSES.pop("demux", None)
             adaptive_reps("demux", demux_round, min_reps=4, max_reps=10,
                           patience=3, section_budget_s=25)
             demux_backend = "fused-pallas"
@@ -748,8 +748,8 @@ def main():
                     np.asarray(dd)
 
             tile_one()  # warm
-            TIMES.pop("cluster", None)
-            TIMES.pop("cluster1", None)
+            TIMES.pop("cluster", None); PASSES.pop("cluster", None)
+            TIMES.pop("cluster1", None); PASSES.pop("cluster1", None)
             adaptive_reps("cluster1", tile_one, min_reps=5, max_reps=12,
                           patience=4, section_budget_s=20)
             adaptive_reps("cluster", tile_sustained, min_reps=3,
@@ -761,7 +761,7 @@ def main():
                                                       tries=1):
             note("late rescue: reorient back on the pallas-infix path")
             reorient_round()  # warm
-            TIMES.pop("reorient", None)
+            TIMES.pop("reorient", None); PASSES.pop("reorient", None)
             timed_reps("reorient", reorient_round, reps=3,
                        label="reorient(rescued)")
             reo_pass = reorienter.run(rrecs).stats["pass"]
@@ -772,7 +772,7 @@ def main():
             note("late rescue: sort back on the pallas engine")
             sort_scorer[0] = None
             sort_once()  # warm
-            TIMES.pop("sort", None)
+            TIMES.pop("sort", None); PASSES.pop("sort", None)
             timed_reps("sort", sort_once, reps=3, label="sort(rescued)")
             n_species = sum(len(g) for g in sres[0].species)
             sort_backend = "pallas-engine"

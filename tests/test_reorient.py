@@ -435,3 +435,44 @@ def test_scheduler_recovers_out_of_order_fused(profiles):
         (res.rescued[0].seq, ins1)
     assert matches_with_wobble(res.rescued[1].seq, ins2), \
         (res.rescued[1].seq, ins2)
+
+
+def test_interior_fused_not_emitted_as_chimera(profiles):
+    """Code-review regression (r4): a fused read whose per-primer BEST
+    hits are the two OUTER primers — unit 1 has exact SP5 + noisy
+    -SP27, unit 2 noisy SP5 + exact -SP27 — pairs those outer hits
+    into one tidy spanning segment that passes every best-hit gate.
+    The pass-2 masked verification scan must surface the shadowed
+    interior primers and route the read to the scheduler: the read is
+    FUSED (both inserts rescued), never a single chimeric pass read."""
+    rng = np.random.default_rng(77)
+    sp5, sp27 = profiles
+
+    def mutate(s, k):
+        s = list(s)
+        for pos in rng.choice(len(s), k, replace=False):
+            s[int(pos)] = "G" if s[int(pos)] != "G" else "A"
+        return "".join(s)
+
+    for trial in range(4):
+        ins1 = "".join(rng.choice(list("ACGT"), size=150))
+        ins2 = "".join(rng.choice(list("ACGT"), size=170))
+        unit1 = (concretize(rng, sp5) + ins1
+                 + mutate(encode.revcomp(concretize(rng, sp27)), 6))
+        unit2 = (mutate(concretize(rng, sp5), 6) + ins2
+                 + encode.revcomp(concretize(rng, sp27)))
+        seq = unit1 + unit2
+        r = Reorienter(PRIMERS, CONFIG,
+                       ReorientConfig(keep_primers=False, q=0.75))
+        res = r.run([Record(f"if{trial}", f"if{trial}", seq,
+                            q(len(seq)))])
+        assert res.stats["pass"] == 0, f"trial {trial}: chimera passed"
+        assert res.stats["fused_reads"] == 1, trial
+        assert res.stats["rescued_segments"] == 2, trial
+
+        def wobble(got, want):
+            return (abs(len(got) - len(want)) <= 12
+                    and (want[12:-12] in got or got[12:-12] in want))
+
+        assert wobble(res.rescued[0].seq, ins1), trial
+        assert wobble(res.rescued[1].seq, ins2), trial

@@ -334,7 +334,15 @@ def locate_dispatch(tabs: BankTables, read_masks: np.ndarray,
     work for chunk k overlap device compute for chunks k+1... (the
     demux host-overlap pattern, BENCH.md r3)."""
     B0, L = read_masks.shape
-    B = -(-B0 // TB) * TB
+    # pad the batch to a power-of-two multiple of TB, not just the next
+    # TB multiple: every distinct padded B is a separate Mosaic compile
+    # (minutes each on a slow service phase), and odd tail chunks — the
+    # last partial chunk of a pipelined pass, small slow-path re-scans —
+    # would otherwise each mint a fresh shape instead of reusing the
+    # main chunk's program
+    B = TB
+    while B < B0:
+        B *= 2
     reads_T = np.zeros((L, B), np.int32)
     reads_T[:, :B0] = read_masks.T
     lens = np.zeros((1, B), np.int32)

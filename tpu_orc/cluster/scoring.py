@@ -262,7 +262,12 @@ class DeviceScorer:
                 longer = np.maximum(rlen[r0:r1, None], clen[None, c0:c1])
                 sf = np.round(1.0 - Df / longer, 3)
                 self.pairs_scored += nr * (c1 - c0)
-                low = sf < 0.5
+                lo_g = np.minimum(rlen[r0:r1, None], clen[None, c0:c1])
+                gated = lo_g * band >= longer
+                # rc retry only for pairs that SURVIVE the length gate —
+                # a gated pair's sf is trivially low (result discarded
+                # as NaN below) and must not trigger the rc dispatch
+                low = (sf < 0.5) & gated
                 if low.any():
                     if rp_rc is None:
                         rp_rc = np.full_like(rp, 4)
@@ -277,9 +282,7 @@ class DeviceScorer:
                     eff = np.where(low, np.maximum(sf, sr), sf)
                 else:
                     eff = sf
-                lo = np.minimum(rlen[r0:r1, None], clen[None, c0:c1])
-                out[r0:r1, c0:c1] = np.where(lo * band >= longer, eff,
-                                             np.nan)
+                out[r0:r1, c0:c1] = np.where(gated, eff, np.nan)
         return out
 
 

@@ -48,12 +48,17 @@ rule (VERDICT r2 #6; each rule's provenance noted):
    INTERVAL SCHEDULING over all config-matched hit pairs: the
    non-overlapping arrangement maximizing total matched bases (ties:
    fewer errors, then more segments, then earliest span / config
-   order). Implementation detail: reads whose single best hit per
-   primer already yields a complete segment with no room for another
-   (no ``RESCAN_GAP`` flank, no second config match) take a vectorized
-   fast path whose result provably equals the scheduler's
-   (tests/test_reorient.py scheduler property tests); everything else
-   goes through full enumeration + scheduling.
+   order; chained segments tolerate boundary overlap up to the hit
+   error budget — the max-matches locate can stretch a noisy span a
+   few bases into the next segment's primer). Implementation detail:
+   a read whose best hits pair into one tidy segment (no
+   ``RESCAN_GAP`` flank, no second config match) is a fast-path
+   CANDIDATE; a second scan with the found spans masked then verifies
+   no further acceptable hit exists anywhere in the read — fused
+   reads whose interior primers were shadowed by best-hit selection
+   fail this check and go to full enumeration. With the verified
+   complete hit set, the vectorized fast path provably equals the
+   scheduler (tests/test_reorient.py scheduler property tests).
 
 Known deviations (documented, not hidden): autotune grid/sample sizes
 are ours; pychopper's exact grid is an implementation detail of its
@@ -220,8 +225,12 @@ class Reorienter:
         keep_primers), ``rest`` is the remainder start after the 3'
         primer (fused-read re-scan). First matching config wins (the
         reference config order '+' then '-'). ``budget``: optional
-        per-primer error caps re-thresholding lenient-scan hits (the
-        autotune path)."""
+        per-primer error caps re-thresholding pre-scanned hits — NOT a
+        production path since the r4 autotune re-scans per grid cutoff
+        (re-thresholding a lenient scan keeps only the max-matches
+        location, which can exceed a stricter budget that another
+        location meets — the bug that under-tuned q); kept for the
+        classify property tests."""
         B = hits["valid"].shape[0]
         cfg_idx = np.full(B, -1, np.int32)
         s0 = np.zeros(B, np.int32)
@@ -350,11 +359,22 @@ class Reorienter:
         n = len(cands)
         val = [None] * n   # best (matches, -errors, count) ending at i
         par = [None] * n
+        # Inter-segment compatibility allows a small overlap: the
+        # max-matches locate can stretch a noisy hit's span a few bases
+        # past the true primer boundary into the NEXT segment's primer
+        # (observed: 10 nt on a 13-error hit), and a strict non-overlap
+        # test would then discard a true 2-segment arrangement in favor
+        # of one spanning chimera. The tolerance is the worst
+        # acceptable hit's error budget — boundary slop cannot exceed
+        # the edits the hit was allowed. Intra-segment pairing stays
+        # strict (end5 <= start3, classify rule 4).
+        tol = int(max((h[3] for h in hits), default=0))
         for i, (s, e, sc, er, k, h5, h3) in enumerate(cands):
             base = (sc, -er, 1)
             bj = None
             for j in range(i):
-                if cands[j][1] <= s and (bj is None or val[j] > val[bj]):
+                if (cands[j][1] - tol <= s
+                        and (bj is None or val[j] > val[bj])):
                     bj = j
             val[i] = (base if bj is None else
                       tuple(a + b for a, b in zip(val[bj], base)))
@@ -428,6 +448,12 @@ class Reorienter:
         from collections import deque
         pend = deque()
 
+        # pass-1 fast candidates (ci -> (cfg_k, s0, s1)), their complete
+        # pass-1 hit sets, and their masked sequences for pass 2
+        fast_cand: Dict[int, Tuple[int, int, int]] = {}
+        spans1: Dict[int, list] = {}
+        p2_work: List[Tuple[int, str]] = []
+
         def _drain_one():
             wchunk, handle = pend.popleft()
             hits = {k: np.asarray(v) for k, v in
@@ -437,23 +463,32 @@ class Reorienter:
                                  len(wchunk))
             anyhit = (hits["valid"] != 0).any(axis=1)
             classified = cfg_idx >= 0
-            # fast path is exact iff no other segment can exist and no
-            # competing config matched; everything else is enumerated +
-            # scheduled (the property tests assert the equivalence)
+            # straight to full enumeration when the best hits alone
+            # already show more structure: a flank that could host
+            # another segment, a second matching config, or hits that
+            # classify could not pair (out-of-order layouts)
             need_slow = np.where(
                 classified,
                 (cs0 >= self.RESCAN_GAP)
                 | (lens_c - cs1 >= self.RESCAN_GAP)
                 | (ncfg > 1),
                 anyhit)
-            for b in np.nonzero(need_slow | classified)[0]:
+            for b in np.nonzero(anyhit)[0]:
                 ci, seq, qual = wchunk[b]
+                seeds = self._hits_from_row(hits, b)
                 if need_slow[b]:
-                    slow[ci] = (seq, self._hits_from_row(hits, b))
-                elif classified[b]:
-                    segments[ci].append(self._make_segment(
-                        kept[ci], seq, qual, int(cfg_idx[b]),
-                        int(cs0[b]), int(cs1[b]), 0))
+                    slow[ci] = (seq, seeds)
+                    continue
+                # candidate fast read: remember the segment, queue the
+                # MASKED sequence for the verification scan (pass 2)
+                spans1[ci] = seeds
+                if classified[b]:
+                    fast_cand[ci] = (int(cfg_idx[b]), int(cs0[b]),
+                                     int(cs1[b]))
+                s = bytearray(seq, "ascii")
+                for (_p, qs, qe, _e, _m) in seeds:
+                    s[qs:qe] = b"X" * (qe - qs)
+                p2_work.append((ci, s.decode("ascii")))
 
         for start in range(0, len(work), batch_size):
             wchunk = work[start:start + batch_size]
@@ -464,6 +499,49 @@ class Reorienter:
                 _drain_one()
         while pend:
             _drain_one()
+
+        # pass 2 (spec rule 8 completeness): re-scan every candidate
+        # fast read with its pass-1 hit spans masked. A read whose best
+        # hits pair into one tidy segment can still be FUSED with the
+        # interior unit's (noisier) primers shadowed by best-hit
+        # selection — e.g. [SP5 ins1 -SP27'][SP5' ins2 -SP27] pairs the
+        # two OUTER exact hits into one spanning chimera. Any fresh
+        # acceptable hit found under the mask routes the read to full
+        # enumeration + scheduling; finding nothing proves the pass-1
+        # hit set complete, which is exactly the precondition under
+        # which the fast path equals the scheduler (property tests).
+        pend2 = deque()
+
+        def _drain_two():
+            wchunk, handle = pend2.popleft()
+            hits2 = {k: np.asarray(v) for k, v in
+                     locate_batch_collect(handle)._asdict().items()}
+            for b in np.nonzero((hits2["valid"] != 0).any(axis=1))[0]:
+                ci = wchunk[b][0]
+                prev = [(h[1], h[2]) for h in spans1[ci]]
+                fresh = [h for h in self._hits_from_row(hits2, b)
+                         if not any(h[1] < e and s < h[2]
+                                    for s, e in prev)]
+                if fresh:
+                    fast_cand.pop(ci, None)
+                    slow[ci] = (kept[ci].seq.upper(),
+                                spans1[ci] + fresh)
+
+        for start in range(0, len(p2_work), batch_size):
+            wchunk = p2_work[start:start + batch_size]
+            pend2.append((wchunk, locate_batch_lazy(
+                bank, [w[1] for w in wchunk], INFIX,
+                cfg.min_primer_overlap)))
+            if len(pend2) >= MAX_INFLIGHT:
+                _drain_two()
+        while pend2:
+            _drain_two()
+
+        # emit the verified fast-path segments
+        for ci, (k, s0, s1) in fast_cand.items():
+            segments[ci].append(self._make_segment(
+                kept[ci], kept[ci].seq.upper(), kept[ci].qual,
+                k, s0, s1, 0))
 
         # slow path: enumerate all hit locations, schedule segments
         if slow:

@@ -145,7 +145,12 @@ def stage_sort(bin_fastq: str, outdir: str, barcode: str, prefix: str,
     if mesh is not None:
         scorer = DeviceScorer(tile=cfg.sorter.tile, mesh=mesh)
     elif sum(len(r.seq) for r in records) <= NATIVE_SMALL_BIN_NT:
-        scorer = DeviceScorer(tile=cfg.sorter.tile, backend="native")
+        try:
+            from .. import native
+            native.lib()  # no compiler / read-only dir -> device path
+            scorer = DeviceScorer(tile=cfg.sorter.tile, backend="native")
+        except Exception:
+            scorer = None
     else:
         scorer = None  # engine default (Pallas on accelerators)
     sorter = AmpliconSorter(cfg.sorter, scorer=scorer)

@@ -546,7 +546,12 @@ class Reorienter:
         # slow path: enumerate all hit locations, schedule segments
         if slow:
             stats["scheduled_reads"] = len(slow)
-            all_hits = self._enumerate_hits(slow, bank, batch_size)
+            # small fixed chunks: the slow set's size varies run to run,
+            # and each distinct padded batch shape is a device-program
+            # compile — 256 keeps every slow-path scan on one shape
+            # (the same one the warmup paths compile)
+            all_hits = self._enumerate_hits(slow, bank,
+                                            min(batch_size, 256))
             for ci, (seq, _) in slow.items():
                 qual = kept[ci].qual
                 for seg_no, (k, s0, s1) in enumerate(

@@ -243,7 +243,9 @@ def test_locate_batch_lazy_collect_parity(sp5, rng):
     # the native small-batch path whose sentinel differs; compare where
     # valid only
     for f in direct._fields:
-        if f == "valid":
+        if f in ("valid", "nloc", "nacc"):
+            # nloc/nacc are documented zeros on the native small-batch
+            # path (LocateResult docstring)
             continue
         cat = np.concatenate([np.asarray(getattr(g, f)) for g in got])
         np.testing.assert_array_equal(

@@ -47,3 +47,13 @@ def test_pack_batch_padding():
 def test_length_buckets():
     ids, caps = encode.length_buckets([100, 300, 5000, 100000])
     assert list(ids) == [0, 1, 5, 5]
+
+
+def test_mean_q_batch_matches_per_record():
+    from tpu_orc.io.fastq import Record, mean_q_batch
+    quals = ["IIII", "", None, "!#5I~", "I" * 1000, None, "!"]
+    got = mean_q_batch(quals)
+    for i, q in enumerate(quals):
+        want = Record("r", "r", "A" * (len(q) if q else 0), q).mean_q()
+        assert abs(got[i] - want) < 1e-9, (i, got[i], want)
+    assert list(mean_q_batch([])) == []

@@ -98,3 +98,102 @@ def test_pallas_locate_iupac_primers():
     for flags in (FRONT, BACK, INFIX):
         mism = run_both(refs, reads, 0.2, flags)
         assert not mism, (flags, mism[:5])
+
+
+def _brute_nloc_nacc(ref, qry, e, min_overlap, flags):
+    """Definitional per-column acceptability series (oracle DP, row m)
+    -> (#runs of acceptable end columns, #acceptable columns)."""
+    from tpu_orc.align.spec import Flag
+    refm = encode.encode_ref_masks(ref)
+    qm = encode.encode_read_masks(qry)
+    m, n = len(refm), len(qm)
+    is_n = (refm & 0b1111) == 0b1111
+    npref = np.zeros(m + 1, np.int64)
+    np.cumsum(is_n, out=npref[1:])
+    start_in_ref = bool(flags & Flag.START_WITHIN_SEQ1)
+    cost = np.zeros(m + 1, np.int64)
+    orig = np.zeros(m + 1, np.int64)
+    for i in range(1, m + 1):
+        cost[i], orig[i] = (0, -i) if start_in_ref else (i, 0)
+
+    def ok(c, og):
+        rs = -og if og < 0 else 0
+        ln = m - rs
+        if ln < min_overlap:
+            return False
+        eff = ln - int(npref[m] - npref[rs])
+        return c <= e * eff
+
+    accs = [ok(int(cost[m]), int(orig[m]))]
+    for j in range(1, n + 1):
+        qc = int(qm[j - 1])
+        dc, do = int(cost[0]), int(orig[0])
+        cost[0], orig[0] = 0, j     # START_WITHIN_SEQ2 row-0 reset
+        for i in range(1, m + 1):
+            pc, po = int(cost[i]), int(orig[i])
+            if refm[i - 1] & qc:
+                nc, no = dc, do
+            else:
+                cd, ch, cv = dc + 1, pc + 1, int(cost[i - 1]) + 1
+                if cd <= ch and cd <= cv:
+                    nc, no = cd, do
+                elif ch <= cv:
+                    nc, no = ch, po
+                else:
+                    nc, no = cv, int(orig[i - 1])
+            cost[i], orig[i] = nc, no
+            dc, do = pc, po
+        accs.append(ok(int(cost[m]), int(orig[m])))
+    nacc = sum(accs)
+    nloc = sum(1 for k, a in enumerate(accs)
+               if a and (k == 0 or not accs[k - 1]))
+    return nloc, nacc
+
+
+@pytest.mark.parametrize("flags", [FRONT, INFIX], ids=["FRONT", "INFIX"])
+def test_nloc_nacc_parity(flags):
+    """LocateResult.nloc/nacc (hit-multiplicity evidence behind the
+    reorient fast path) match a definitional per-column DP on both the
+    XLA and Pallas backends, including planted multi-location reads."""
+    from tpu_orc.align.batched import batched_locate
+    rng = np.random.default_rng(17)
+
+    def rs(n):
+        return "".join(rng.choice(list("ACGT"), size=n))
+
+    for trial in range(6):
+        refs = [rs(int(rng.integers(8, 28))) for _ in range(3)]
+        reads = []
+        for b in range(6):
+            r = rs(int(rng.integers(30, 140)))
+            for _ in range(int(rng.integers(0, 3))):
+                a = refs[int(rng.integers(len(refs)))]
+                pos = int(rng.integers(0, max(1, len(r) - len(a))))
+                r = r[:pos] + a + r[pos + len(a):]
+            reads.append(r)
+        e = float(rng.choice([0.1, 0.2]))
+        A, M = len(refs), max(map(len, refs))
+        ref_masks = np.zeros((A, M), np.uint8)
+        ref_lens = np.zeros(A, np.int32)
+        for i, r in enumerate(refs):
+            m = encode.encode_ref_masks(r)
+            ref_masks[i, :len(m)] = m
+            ref_lens[i] = len(m)
+        read_masks, read_lens = encode.pack_batch(
+            reads, pad_multiple=16, encoder=encode.encode_read_masks,
+            pad_value=0)
+        kt = make_k_table(e, ref_masks, ref_lens)
+        npx = make_n_prefix(ref_masks)
+        xla = batched_locate(ref_masks, ref_lens, kt, npx,
+                             read_masks, read_lens, int(flags), 3)
+        pal = locate_pallas(ref_masks, ref_lens, kt, npx, read_masks,
+                            read_lens, int(flags), 3, interpret=True)
+        for b, read in enumerate(reads):
+            for a, ref in enumerate(refs):
+                want = _brute_nloc_nacc(ref, read, e, 3, flags)
+                assert (int(np.asarray(xla.nloc)[b, a]),
+                        int(np.asarray(xla.nacc)[b, a])) == want, \
+                    ("xla", trial, b, a)
+                assert (int(pal.nloc[b, a]),
+                        int(pal.nacc[b, a])) == want, \
+                    ("pallas", trial, b, a)

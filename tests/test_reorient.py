@@ -364,7 +364,7 @@ def test_scheduler_equals_classify_on_single_segment_tables(rng):
 def test_run_fast_path_equals_forced_scheduler(profiles, rng):
     """End-to-end equivalence: the same clean batch routed through the
     fast path (default) and through the full enumerate+schedule path
-    (RESCAN_GAP=0 forces every classified read into the scheduler)
+    (FORCE_SCHEDULE routes every read with hits into the scheduler)
     produces identical outputs."""
     sp5, sp27 = profiles
     recs = []
@@ -380,7 +380,7 @@ def test_run_fast_path_equals_forced_scheduler(profiles, rng):
     res_fast = fast.run(recs)
     slow = Reorienter(PRIMERS, CONFIG,
                       ReorientConfig(keep_primers=False, q=0.75))
-    slow.RESCAN_GAP = 0  # force full enumeration + scheduling
+    slow.FORCE_SCHEDULE = True  # force full enumeration + scheduling
     res_slow = slow.run(recs)
     assert res_slow.stats["scheduled_reads"] == 40
     assert res_fast.stats["pass"] == res_slow.stats["pass"] == 40

@@ -46,6 +46,20 @@ class LocateResult(NamedTuple):
 
     valid==0 rows have unspecified other fields. refstart/refstop/
     querystart/querystop follow spec.py conventions.
+
+    ``nloc``/``nacc`` — hit-multiplicity evidence for the reorient
+    fast path (demux/reorient.py): the number of RUNS of acceptable
+    end columns (rising edges of the per-column acceptance series the
+    scan already evaluates) and the total count of acceptable columns.
+    Two acceptable locations with DISJOINT spans always either produce
+    two runs or stretch one run wider than a single location can
+    (span length >= len(adapter) - k), so ``nloc <= 1`` together with
+    ``nacc <= len(adapter) - k`` proves the best hit is the ONLY
+    disjoint acceptable location of that adapter — which is exactly
+    the completeness precondition pychopper's enumeration establishes
+    by masked re-scanning. Meaningful for STOP_WITHIN_SEQ2 modes
+    (FRONT/INFIX); zeros on paths that don't compute them (the native
+    small-batch shortcut, the BACK snapshot candidates).
     """
     valid: jnp.ndarray
     matches: jnp.ndarray
@@ -54,6 +68,8 @@ class LocateResult(NamedTuple):
     refstop: jnp.ndarray
     querystart: jnp.ndarray
     querystop: jnp.ndarray
+    nloc: jnp.ndarray
+    nacc: jnp.ndarray
 
 
 def make_k_table(max_error_rate: float, ref_masks: np.ndarray,
@@ -190,12 +206,15 @@ def batched_locate(ref_masks, ref_lens, k_table, n_prefix,
     ok0 = eval_row_m_candidate(c0, m0, o0, jnp.int32(0))
     best = update_best(best0, ok0, m0, c0, o0,
                        jnp.zeros((B, A), jnp.int32))
+    # acceptable-column run counting (LocateResult.nloc/nacc docstring)
+    ok0i = ok0.astype(jnp.int32)
+    runs0 = (ok0i, ok0i, ok0i)  # (prev_ok, nloc, nacc)
 
     # snapshot of the column state at j == read_len (for STOP_WITHIN_SEQ1)
     snap0 = (cost0, matches0, origin0)
 
     def body(j, carry):
-        cost, matches, origin, best, snap = carry
+        cost, matches, origin, best, snap, runs = carry
         qc = jax.lax.dynamic_slice_in_dim(read_masks, j - 1, 1, axis=1)
         eq = (ref_masks[None] & qc[:, :, None]) != 0  # [B, A, M]
 
@@ -230,15 +249,18 @@ def batched_locate(ref_masks, ref_lens, k_table, n_prefix,
         ok = eval_row_m_candidate(cm, mm, om, j)
         best = update_best(best, ok, mm, cm, om,
                            jnp.full((B, A), j, jnp.int32))
+        prev_ok, nloc, nacc = runs
+        oki = ok.astype(jnp.int32)
+        runs = (oki, nloc + oki * (1 - prev_ok), nacc + oki)
         if stop_in_ref:
             at_end = (j == lens_b)[:, :, None]        # [B, 1, 1]
             snap = tuple(jnp.where(at_end, new, old)
                          for new, old in zip((ncost, nmatches, norigin),
                                              snap))
-        return ncost, nmatches, norigin, best, snap
+        return ncost, nmatches, norigin, best, snap, runs
 
-    cost, matches, origin, best, snap = jax.lax.fori_loop(
-        1, L + 1, body, (cost0, matches0, origin0, best, snap0))
+    cost, matches, origin, best, snap, runs = jax.lax.fori_loop(
+        1, L + 1, body, (cost0, matches0, origin0, best, snap0, runs0))
 
     bvalid, bm, bc, bo, bq = best
 
@@ -286,6 +308,7 @@ def batched_locate(ref_masks, ref_lens, k_table, n_prefix,
         matches=bm, errors=bc,
         refstart=jnp.maximum(-bo, 0), refstop=brow,
         querystart=jnp.maximum(bo, 0), querystop=bq,
+        nloc=runs[1], nacc=runs[2],
     )
 
 

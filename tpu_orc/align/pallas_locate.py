@@ -55,8 +55,8 @@ PAYMASK = (1 << PAYB) - 1
 def _kernel(mode: str, Ap: int, L: int,
             ref_ref, kbyrs_ref, kfin_ref, onem_ref, mrow_ref,
             kconst_ref, reads_ref, lens_ref,
-            out_m, out_c, out_o, out_q, out_v, out_r,
-            cost, pay, sc, spay):
+            out_m, out_c, out_o, out_q, out_v, out_r, out_nl, out_na,
+            cost, pay, sc, spay, pok):
     mode_front = mode == "front"
     snapshot = mode == "back"
     rows3 = jax.lax.broadcasted_iota(jnp.int32, (Ap, RP, TB), 1)
@@ -110,6 +110,14 @@ def _kernel(mode: str, Ap: int, L: int,
 
     ok0, mm0, cm0, om0 = row_m_eval(jnp.int32(0), cost[...], pay[...])
     update_best(ok0, mm0, cm0, om0, jnp.zeros((Ap, TB), jnp.int32))
+    # acceptable-column run counting (LocateResult.nloc/nacc): rising
+    # edges + total count of the per-column acceptance series the scan
+    # already evaluates — free multiplicity evidence that lets the
+    # reorient fast path skip its masked verification re-scan.
+    ok0i = ok0.astype(jnp.int32)
+    pok[...] = ok0i
+    out_nl[...] = ok0i
+    out_na[...] = ok0i
 
     # the scan key packs v = cost - row (bounded: cost <= row + 1 and
     # cost - row >= -RP) above an inverted-row tie-break field, so a
@@ -152,6 +160,10 @@ def _kernel(mode: str, Ap: int, L: int,
         ok, mm, cm, om = row_m_eval(j, ncost, p_)
         update_best(ok, mm, cm, om,
                     jnp.broadcast_to(j, (Ap, TB)).astype(jnp.int32))
+        oki = ok.astype(jnp.int32)
+        out_nl[...] = out_nl[...] + oki * (1 - pok[...])
+        out_na[...] = out_na[...] + oki
+        pok[...] = oki
         if snapshot:
             at_end = j == lens[:, None, :]           # [1, 1, TB]
             sc[...] = jnp.where(at_end, ncost, sc[...])
@@ -195,9 +207,9 @@ def _kernel(mode: str, Ap: int, L: int,
 def locate_tiles(ref, kbyrs, kfin, onem, mrow, kconst, reads_T, lens,
                  mode, Ap: int, L: int,
                  interpret: bool = False):
-    """reads_T [L, B] int32, lens [1, B]; B % TB == 0. Returns 6 arrays
-    [Ap, B]: matches, errors, origin, qstop, valid, refstop-row.
-    mode: 'front' | 'back' | 'infix' (legacy bool = front/back)."""
+    """reads_T [L, B] int32, lens [1, B]; B % TB == 0. Returns 8 arrays
+    [Ap, B]: matches, errors, origin, qstop, valid, refstop-row, nloc,
+    nacc. mode: 'front' | 'back' | 'infix' (legacy bool = front/back)."""
     if mode is True or mode is False:
         mode = "front" if mode else "back"
     if L >= (1 << PAYB) - RP:
@@ -223,9 +235,10 @@ def locate_tiles(ref, kbyrs, kfin, onem, mrow, kconst, reads_T, lens,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((Ap, TB), lambda b: (0, b),
-                                memory_space=pltpu.VMEM)] * 6,
-        out_shape=[jax.ShapeDtypeStruct((Ap, B), jnp.int32)] * 6,
-        scratch_shapes=[pltpu.VMEM((Ap, RP, TB), jnp.int32)] * 4,
+                                memory_space=pltpu.VMEM)] * 8,
+        out_shape=[jax.ShapeDtypeStruct((Ap, B), jnp.int32)] * 8,
+        scratch_shapes=[pltpu.VMEM((Ap, RP, TB), jnp.int32)] * 4
+        + [pltpu.VMEM((Ap, TB), jnp.int32)],
         interpret=interpret,
     )(ref, kbyrs, kfin, onem, mrow, kconst, reads_T, lens)
 
@@ -329,7 +342,7 @@ def locate_dispatch(tabs: BankTables, read_masks: np.ndarray,
                     interpret: bool = False):
     """Phase A of a pipelined locate: upload + launch, NO fetch.
 
-    Returns (lazy [6, Ap, B] device array, A, B0) for locate_collect.
+    Returns (lazy [8, Ap, B] device array, A, B0) for locate_collect.
     Dispatching every chunk before fetching any lets host materialize
     work for chunk k overlap device compute for chunks k+1... (the
     demux host-overlap pattern, BENCH.md r3)."""
@@ -347,10 +360,10 @@ def locate_dispatch(tabs: BankTables, read_masks: np.ndarray,
     reads_T[:, :B0] = read_masks.T
     lens = np.zeros((1, B), np.int32)
     lens[0, :B0] = read_lens
-    m, c, o, q, v, r = locate_tiles(
+    m, c, o, q, v, r, nl, na = locate_tiles(
         *tabs.arrays(), jnp.asarray(reads_T), jnp.asarray(lens),
         mode, tabs.Ap, L, interpret)
-    return jnp.stack([m, c, o, q, v, r]), tabs.A, B0
+    return jnp.stack([m, c, o, q, v, r, nl, na]), tabs.A, B0
 
 
 def locate_collect(lazy, A: int, B0: int):
@@ -362,7 +375,8 @@ def locate_collect(lazy, A: int, B0: int):
     return LocateResult(
         valid=tr(stk[4]), matches=tr(stk[0]), errors=tr(stk[1]),
         refstart=np.maximum(-bo, 0), refstop=tr(stk[5]),
-        querystart=np.maximum(bo, 0), querystop=tr(stk[3]))
+        querystart=np.maximum(bo, 0), querystop=tr(stk[3]),
+        nloc=tr(stk[6]), nacc=tr(stk[7]))
 
 
 def locate_pallas(bank_masks: np.ndarray, bank_lens: np.ndarray,

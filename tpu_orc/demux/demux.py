@@ -157,10 +157,12 @@ def _locate_native_small(bank: AdapterBank, seqs, flags, min_overlap,
                                          min_overlap, nthreads=1)
     except Exception:
         return None
+    zero = np.zeros_like(valid, dtype=np.int32)
     return LocateResult(valid=valid.astype(np.int32),
                         matches=out[:, :, 4], errors=out[:, :, 5],
                         refstart=out[:, :, 0], refstop=out[:, :, 1],
-                        querystart=out[:, :, 2], querystop=out[:, :, 3])
+                        querystart=out[:, :, 2], querystop=out[:, :, 3],
+                        nloc=zero, nacc=zero)
 
 
 def locate_batch_lazy(bank: AdapterBank, seqs: Sequence[str], flags,

@@ -134,7 +134,7 @@ def _fused_body(t5, t27, m32, lens, Ap5: int, L: int, Ap27: int,
     lens2 = jnp.concatenate([lens, lens])
 
     # round 1: FRONT over SP5, fwd + rc in one kernel launch
-    m, c, o, q, v, r = locate_tiles(
+    m, c, o, q, v, r, _nl, _na = locate_tiles(
         *t5, both.T, lens2[None, :], True, Ap5, L, interpret)
     A5 = Ap5  # padded rows never validate (threshold tables are -1)
     idx_b, m_b, qe_b, _, e_b = _best(jnp.where(v > 0, m, -1), q, o, A5, c)
@@ -156,7 +156,7 @@ def _fused_body(t5, t27, m32, lens, Ap5: int, L: int, Ap27: int,
     rc_t = _revcomp_rows(trimmed, lens_t)
     both2 = jnp.concatenate([trimmed, rc_t], axis=0)
     lens2t = jnp.concatenate([lens_t, lens_t])
-    m, c, o, q, v, r = locate_tiles(
+    m, c, o, q, v, r, _nl2, _na2 = locate_tiles(
         *t27, both2.T, lens2t[None, :], False, Ap27, L, interpret)
     idx_b, m_b, _, qs_b, e_b = _best(jnp.where(v > 0, m, -1), q, o,
                                      Ap27, c)

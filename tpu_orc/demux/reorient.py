@@ -51,14 +51,20 @@ rule (VERDICT r2 #6; each rule's provenance noted):
    order; chained segments tolerate boundary overlap up to the hit
    error budget — the max-matches locate can stretch a noisy span a
    few bases into the next segment's primer). Implementation detail:
-   a read whose best hits pair into one tidy segment (no
-   ``RESCAN_GAP`` flank, no second config match) is a fast-path
-   CANDIDATE; a second scan with the found spans masked then verifies
-   no further acceptable hit exists anywhere in the read — fused
-   reads whose interior primers were shadowed by best-hit selection
-   fail this check and go to full enumeration. With the verified
-   complete hit set, the vectorized fast path provably equals the
-   scheduler (tests/test_reorient.py scheduler property tests).
+   completeness of the best-hit set is PROVEN by the locate kernel's
+   per-primer multiplicity outputs (LocateResult.nloc/nacc): a primer
+   whose acceptable end columns form a single run no wider than
+   len(primer) - k cannot have a second acceptable location with a
+   disjoint span (a disjoint alignment spans >= len - k columns, so it
+   would either start a second run or stretch the run past the cap).
+   A read that is complete by this evidence and classifies into
+   exactly one config takes the vectorized fast path, which provably
+   equals the scheduler on complete hit sets (tests/test_reorient.py
+   scheduler property tests); reads with multiplicity evidence
+   (fused reads whose interior primers were shadowed by best-hit
+   selection) go to full enumeration + scheduling. This replaces the
+   r4 masked verification re-scan — same guarantee, zero extra device
+   work (the r4 scan re-dispatched every fast-path read).
 
 Known deviations (documented, not hidden): autotune grid/sample sizes
 are ours; pychopper's exact grid is an implementation detail of its
@@ -265,12 +271,9 @@ class Reorienter:
     # Spec rule 8: full hit enumeration + weighted interval scheduling
     # ------------------------------------------------------------------
 
-    # A classified read re-enters hit enumeration only when a flank of
-    # at least this many bases lies outside its fast-path segment — the
-    # smallest span that could host another segment's two primers
-    # (len(SP5)+len(SP27) = 115 for the M13 profiles, minus slack for
-    # deletion-heavy hits).
-    RESCAN_GAP = 100
+    # Test hook: route every read with any hit through full
+    # enumeration + scheduling (the fast path's reference semantics).
+    FORCE_SCHEDULE = False
     MASK_CHAR = "X"  # read-mask class 'other': matches ONLY primer N
     # positions, so a masked span cannot re-seed a non-degenerate hit
 
@@ -302,6 +305,7 @@ class Reorienter:
                 s[qs:qe] = self.MASK_CHAR * (qe - qs)
             return "".join(s)
 
+        from .demux import locate_batch_collect, locate_batch_lazy
         active = {ci: masked(ci, seq) for ci, (seq, _) in entries.items()
                   if all_hits[ci]}
         for _ in range(1, self.cfg.max_segments):
@@ -309,22 +313,35 @@ class Reorienter:
                 break
             order = sorted(active)
             nxt: Dict[int, str] = {}
-            for start in range(0, len(order), batch_size):
-                cis = order[start:start + batch_size]
-                res = locate_batch(bank, [active[ci] for ci in cis],
-                                   INFIX, self.cfg.min_primer_overlap)
+            # dispatch every chunk of the round before collecting any:
+            # rounds are sequentially dependent, but chunks within a
+            # round are not — 3 queued chunks cost ~1 relay round-trip
+            # instead of 3 (the reorient pipelining pattern)
+            chunks = [order[s:s + batch_size]
+                      for s in range(0, len(order), batch_size)]
+            handles = [locate_batch_lazy(
+                bank, [active[ci] for ci in cis], INFIX,
+                self.cfg.min_primer_overlap) for cis in chunks]
+            for cis, handle in zip(chunks, handles):
                 hits = {k: np.asarray(v) for k, v in
-                        res._asdict().items()}
+                        locate_batch_collect(handle)._asdict().items()}
                 for b, ci in enumerate(cis):
                     spans = [(h[1], h[2]) for h in all_hits[ci]]
-                    fresh = [h for h in self._hits_from_row(hits, b)
+                    found = self._hits_from_row(hits, b)
+                    if not found:
+                        continue
+                    fresh = [h for h in found
                              if not any(h[1] < e and s < h[2]
                                         for s, e in spans)]
-                    if not fresh:
-                        continue
-                    all_hits[ci].extend(fresh)
+                    if fresh:
+                        all_hits[ci].extend(fresh)
+                    # mask EVERY found span — including overlap-filtered
+    # rediscoveries (a best hit straddling an already-masked span):
+    # leaving them unmasked would re-find the same span every round and
+    # shadow a genuine lower-scoring location elsewhere in the read,
+    # under-segmenting deeply fused reads (advisor r4 finding).
                     s = list(active[ci])
-                    for (_p, qs, qe, _e, _m) in fresh:
+                    for (_p, qs, qe, _e, _m) in found:
                         s[qs:qe] = self.MASK_CHAR * (qe - qs)
                     nxt[ci] = "".join(s)
             active = nxt
@@ -364,15 +381,20 @@ class Reorienter:
         # past the true primer boundary into the NEXT segment's primer
         # (observed: 10 nt on a 13-error hit), and a strict non-overlap
         # test would then discard a true 2-segment arrangement in favor
-        # of one spanning chimera. The tolerance is the worst
-        # acceptable hit's error budget — boundary slop cannot exceed
-        # the edits the hit was allowed. Intra-segment pairing stays
-        # strict (end5 <= start3, classify rule 4).
-        tol = int(max((h[3] for h in hits), default=0))
+        # of one spanning chimera. The tolerance is PER JUNCTION — the
+        # summed error counts of the two hits that actually flank it
+        # (the earlier segment's 3' hit and the later segment's 5' hit;
+        # boundary slop cannot exceed the edits those hits were
+        # allowed). A read-global max would let one noisy hit relax
+        # the constraint between unrelated exact-hit segments,
+        # duplicating up to tol bases under keep_primers (advisor r4
+        # finding). Intra-segment pairing stays strict (end5 <=
+        # start3, classify rule 4).
         for i, (s, e, sc, er, k, h5, h3) in enumerate(cands):
             base = (sc, -er, 1)
             bj = None
             for j in range(i):
+                tol = cands[j][6][3] + h5[3]  # j's 3' hit + i's 5' hit
                 if (cands[j][1] - tol <= s
                         and (bj is None or val[j] > val[bj])):
                     bj = j
@@ -415,11 +437,14 @@ class Reorienter:
                  "fused_reads": 0, "unclass": 0, "short": 0, "low_q": 0,
                  "scheduled_reads": 0}
         records = list(records)
-        # spec rule 6: mean-Q filter before classification
+        # spec rule 6: mean-Q filter before classification (one
+        # segmented reduction over the whole batch; mean_q_batch)
+        from ..io.fastq import mean_q_batch
+        meanq = mean_q_batch([r.qual for r in records])
         kept: List[Record] = []
-        for r in records:
+        for i, r in enumerate(records):
             stats["total"] += 1
-            if r.qual is not None and r.mean_q() < cfg.qmin:
+            if r.qual is not None and meanq[i] < cfg.qmin:
                 stats["low_q"] += 1
                 stats["unclass"] += 1
                 out.unclass.append(r)
@@ -431,12 +456,21 @@ class Reorienter:
             stats["autotuned_q_x100"] = int(round(self.q * 100))
         from .demux import locate_batch_collect, locate_batch_lazy
         bank, _ = self._bank_for(self.q)
+        # per-primer completeness caps (spec rule 8 / nloc docstring):
+        # a single acceptable-column run wider than len - k could hide
+        # a second disjoint location inside it
+        width_cap = (bank.lens.astype(np.int64)
+                     - bank.k_table[:, 0].astype(np.int64))[None, :]
         work = [(ci, r.seq.upper(), r.qual) for ci, r in enumerate(kept)]
         segments: Dict[int, List[Record]] = {ci: []
                                              for ci in range(len(kept))}
         # slow-path candidates for full enumeration + scheduling (spec
         # rule 8): {ci: (seq, seed_hits)}
         slow: Dict[int, Tuple[str, list]] = {}
+        # complete-hit-set reads that still need the scheduler (two
+        # matching configs; classify's first-config-wins is not the
+        # max-matches arrangement): {ci: seed_hits}
+        sched_direct: Dict[int, list] = {}
         # ONE pipelined scan pass over every read: primer scans dispatch
         # ahead of the fetches through a bounded window, so host
         # classify/slice work for chunk k overlaps device compute for
@@ -448,47 +482,37 @@ class Reorienter:
         from collections import deque
         pend = deque()
 
-        # pass-1 fast candidates (ci -> (cfg_k, s0, s1)), their complete
-        # pass-1 hit sets, and their masked sequences for pass 2
         fast_cand: Dict[int, Tuple[int, int, int]] = {}
-        spans1: Dict[int, list] = {}
-        p2_work: List[Tuple[int, str]] = []
 
         def _drain_one():
             wchunk, handle = pend.popleft()
             hits = {k: np.asarray(v) for k, v in
                     locate_batch_collect(handle)._asdict().items()}
             cfg_idx, cs0, cs1, _, ncfg = self._classify_batch(hits)
-            lens_c = np.fromiter((len(w[1]) for w in wchunk), np.int32,
-                                 len(wchunk))
             anyhit = (hits["valid"] != 0).any(axis=1)
             classified = cfg_idx >= 0
-            # straight to full enumeration when the best hits alone
-            # already show more structure: a flank that could host
-            # another segment, a second matching config, or hits that
-            # classify could not pair (out-of-order layouts)
-            need_slow = np.where(
-                classified,
-                (cs0 >= self.RESCAN_GAP)
-                | (lens_c - cs1 >= self.RESCAN_GAP)
-                | (ncfg > 1),
-                anyhit)
+            # kernel-side multiplicity evidence: the best-hit set is
+            # complete iff every primer's acceptable end columns form
+            # at most one run no wider than len - k (module docstring
+            # rule 8). Incomplete reads (fused reads whose interior
+            # primers were shadowed by best-hit selection) go to full
+            # enumeration; complete reads never need a re-scan.
+            bad = (hits["nloc"] > 1) | ((hits["nloc"] == 1)
+                                        & (hits["nacc"] > width_cap))
+            complete = ~bad.any(axis=1)
+            if self.FORCE_SCHEDULE:
+                complete = np.zeros_like(complete)
             for b in np.nonzero(anyhit)[0]:
                 ci, seq, qual = wchunk[b]
-                seeds = self._hits_from_row(hits, b)
-                if need_slow[b]:
-                    slow[ci] = (seq, seeds)
-                    continue
-                # candidate fast read: remember the segment, queue the
-                # MASKED sequence for the verification scan (pass 2)
-                spans1[ci] = seeds
-                if classified[b]:
+                if not complete[b]:
+                    slow[ci] = (seq, self._hits_from_row(hits, b))
+                elif classified[b] and ncfg[b] == 1:
                     fast_cand[ci] = (int(cfg_idx[b]), int(cs0[b]),
                                      int(cs1[b]))
-                s = bytearray(seq, "ascii")
-                for (_p, qs, qe, _e, _m) in seeds:
-                    s[qs:qe] = b"X" * (qe - qs)
-                p2_work.append((ci, s.decode("ascii")))
+                elif ncfg[b] > 1:
+                    sched_direct[ci] = self._hits_from_row(hits, b)
+                # else: hits, but no config pairs even on the complete
+                # set -> unclassified (scheduler would find nothing)
 
         for start in range(0, len(work), batch_size):
             wchunk = work[start:start + batch_size]
@@ -500,52 +524,23 @@ class Reorienter:
         while pend:
             _drain_one()
 
-        # pass 2 (spec rule 8 completeness): re-scan every candidate
-        # fast read with its pass-1 hit spans masked. A read whose best
-        # hits pair into one tidy segment can still be FUSED with the
-        # interior unit's (noisier) primers shadowed by best-hit
-        # selection — e.g. [SP5 ins1 -SP27'][SP5' ins2 -SP27] pairs the
-        # two OUTER exact hits into one spanning chimera. Any fresh
-        # acceptable hit found under the mask routes the read to full
-        # enumeration + scheduling; finding nothing proves the pass-1
-        # hit set complete, which is exactly the precondition under
-        # which the fast path equals the scheduler (property tests).
-        pend2 = deque()
-
-        def _drain_two():
-            wchunk, handle = pend2.popleft()
-            hits2 = {k: np.asarray(v) for k, v in
-                     locate_batch_collect(handle)._asdict().items()}
-            for b in np.nonzero((hits2["valid"] != 0).any(axis=1))[0]:
-                ci = wchunk[b][0]
-                prev = [(h[1], h[2]) for h in spans1[ci]]
-                fresh = [h for h in self._hits_from_row(hits2, b)
-                         if not any(h[1] < e and s < h[2]
-                                    for s, e in prev)]
-                if fresh:
-                    fast_cand.pop(ci, None)
-                    slow[ci] = (kept[ci].seq.upper(),
-                                spans1[ci] + fresh)
-
-        for start in range(0, len(p2_work), batch_size):
-            wchunk = p2_work[start:start + batch_size]
-            pend2.append((wchunk, locate_batch_lazy(
-                bank, [w[1] for w in wchunk], INFIX,
-                cfg.min_primer_overlap)))
-            if len(pend2) >= MAX_INFLIGHT:
-                _drain_two()
-        while pend2:
-            _drain_two()
-
         # emit the verified fast-path segments
         for ci, (k, s0, s1) in fast_cand.items():
             segments[ci].append(self._make_segment(
                 kept[ci], kept[ci].seq.upper(), kept[ci].qual,
                 k, s0, s1, 0))
 
+        # complete hit sets that need scheduling: no enumeration —
+        # completeness means the seeds ARE all acceptable locations
+        for ci, seeds in sched_direct.items():
+            for seg_no, (k, s0, s1) in enumerate(self._schedule(seeds)):
+                segments[ci].append(self._make_segment(
+                    kept[ci], kept[ci].seq.upper(), kept[ci].qual,
+                    k, s0, s1, seg_no))
+
         # slow path: enumerate all hit locations, schedule segments
+        stats["scheduled_reads"] = len(slow) + len(sched_direct)
         if slow:
-            stats["scheduled_reads"] = len(slow)
             # small fixed chunks: the slow set's size varies run to run,
             # and each distinct padded batch shape is a device-program
             # compile — 256 keeps every slow-path scan on one shape

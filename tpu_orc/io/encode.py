@@ -179,15 +179,13 @@ def ascii_matrix(seqs, max_len: int | None = None, pad_multiple: int = 1,
     L = pad_to(max(L, 1), pad_multiple)
     if B == 0:
         return np.zeros((0, L), np.uint8), np.zeros(0, np.int32)
-    buf = np.frombuffer(b"".join(
-        s.encode("ascii") if isinstance(s, str) else bytes(s)
-        for s in seqs), np.uint8)
-    offs = np.zeros(B, np.int64)
-    np.cumsum(lens[:-1], out=offs[1:])
-    idx = offs[:, None] + np.arange(L)[None, :]
-    valid = np.arange(L)[None, :] < np.minimum(lens, L)[:, None]
-    out = np.where(valid, buf[np.minimum(idx, len(buf) - 1)],
-                   np.uint8(pad_value)).astype(np.uint8, copy=False)
+    # per-row frombuffer+copy beats a [B, L] int64 index gather ~6x
+    # (memcpy vs 1M-element fancy indexing; measured r5)
+    out = np.full((B, L), np.uint8(pad_value))
+    for i, s in enumerate(seqs):
+        b = s.encode("ascii") if isinstance(s, str) else bytes(s)
+        n = min(len(b), L)
+        out[i, :n] = np.frombuffer(b, np.uint8, count=n)
     return out, np.minimum(lens, L).astype(np.int32)
 
 

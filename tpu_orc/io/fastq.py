@@ -35,6 +35,36 @@ class Record:
         return float(q.mean()) - 33.0
 
 
+def mean_q_batch(quals) -> "np.ndarray":
+    """Mean Phred quality of MANY quality strings in one pass
+    (float64 [N]); entries that are None or empty give 0.0, matching
+    ``Record.mean_q``. One join + one segmented reduction — the
+    per-record numpy mean was ~0.14 s per 8192-read reorient batch
+    (8192 tiny-array dispatches), this is ~5 ms.
+    """
+    import numpy as np
+    n = len(quals)
+    out = np.zeros(n, np.float64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(q) if q else 0 for q in quals), np.int64, n)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    buf = np.frombuffer(
+        b"".join(q.encode("ascii") for q in quals if q), np.uint8)
+    offs = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    # reduceat quirk: a zero-length segment returns buf[offs[i]] and an
+    # offset == len(buf) is out of range — clamp, then overwrite the
+    # empty rows below
+    sums = np.add.reduceat(buf.astype(np.int64),
+                           np.minimum(offs, total - 1))
+    nz = lens > 0
+    out[nz] = sums[nz] / lens[nz] - 33.0
+    return out
+
+
 def _open(path, mode="rt"):
     if str(path).endswith(".gz"):
         return gzip.open(path, mode)

@@ -202,33 +202,228 @@ def _kernel(mode: str, Ap: int, L: int,
         out_r[...] = jnp.where(better, frow, out_r[...])
 
 
+def _kernel_wf(mode: str, Ap: int, L: int,
+               ref_ref, kbyrs_ref, kfin_ref, onem_ref, mrow_ref,
+               kconst_ref, erev_ref, lens_ref,
+               out_m, out_c, out_o, out_q, out_v, out_r, out_nl, out_na,
+               ca, pa, cb, pb, sc, spay, pok):
+    """Anti-diagonal wavefront variant of ``_kernel`` — identical
+    semantics, ~2x fewer vector ops per cell.
+
+    On anti-diagonal d the cell (row i, column j = d - i) depends on
+    (i-1, j-1) [diagonal, step d-2], (i, j-1) [left, d-1] and
+    (i-1, j) [up, d-1] — the vertical dependency lands in the PREVIOUS
+    step, so the per-column Kogge-Stone (min,+) scan (6 roll+select
+    stages, ~60% of the column kernel's op count) disappears and the
+    kernel IS the sequential DP evaluation order (no tie-break
+    emulation needed). Steps run d = 1 .. L+RP-1 (each adapter's row-m
+    cell for column j sits on diagonal j + m). ``erev_ref`` is the
+    read matrix REVERSED along L and padded with RP zero rows on both
+    sides, so the per-step window win[i] = read[d-1-i] is one
+    contiguous ascending slice at offset L - d + RP.
+
+    Two DP planes (cost, pay) per parity: step d overwrites the d-2
+    plane; the loop body unrolls two steps so plane roles are static.
+    """
+    mode_front = mode == "front"
+    snapshot = mode == "back"
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (Ap, RP, TB), 1)
+    lens = lens_ref[0, :][None, :]                  # [1, TB]
+    mrow = mrow_ref[:, 0][:, None]                  # [Ap, 1]
+    onem = onem_ref[...][:, :, None] != 0           # [Ap, RP, 1]
+    refm = ref_ref[...][:, :, None]                 # row i = adapter char i-1
+
+    # boundary column j=0 values (written when row i == d)
+    if mode_front:  # free ref-prefix skip: cost 0, origin -i
+        bnd_c = jnp.zeros((Ap, RP, TB), jnp.int32)
+        bnd_p = RP - rows3                           # m=0, o=-i
+    else:           # pay deletions: cost i
+        bnd_c = rows3
+        bnd_p = jnp.full((Ap, RP, TB), RP, jnp.int32)  # m=0, o=0
+    big3 = jnp.full((Ap, RP, TB), BIG, jnp.int32)
+    zero3 = jnp.zeros((Ap, RP, TB), jnp.int32)
+    is0 = rows3 == 0
+
+    # plane for d = 0: cell (0, 0) = boundary; unreached rows BIG
+    ca[...] = jnp.where(is0, bnd_c, big3)
+    pa[...] = jnp.where(is0, bnd_p, zero3)
+    # plane for d = -1 (diag source of step 1): all BIG
+    cb[...] = big3
+    pb[...] = zero3
+    if snapshot:
+        sc[...] = big3
+        spay[...] = zero3
+
+    out_v[...] = jnp.zeros((Ap, TB), jnp.int32)
+    out_m[...] = jnp.full((Ap, TB), -1, jnp.int32)
+    out_c[...] = jnp.full((Ap, TB), BIG, jnp.int32)
+    out_o[...] = jnp.zeros((Ap, TB), jnp.int32)
+    out_q[...] = jnp.zeros((Ap, TB), jnp.int32)
+    out_r[...] = jnp.broadcast_to(mrow, (Ap, TB))
+    out_nl[...] = jnp.zeros((Ap, TB), jnp.int32)
+    out_na[...] = jnp.zeros((Ap, TB), jnp.int32)
+    pok[...] = jnp.zeros((Ap, TB), jnp.int32)
+
+    def step(d, cprev, pprev, cprev2, pprev2):
+        """One wavefront step; reads planes d-1/d-2, returns plane d."""
+        win = erev_ref[pl.ds(L - d + RP, RP), :]     # [RP, TB]
+        eq = (refm & win[None, :, :]) != 0
+        diag_c = pltpu.roll(cprev2[...], 1, 1)
+        diag_p = pltpu.roll(pprev2[...], 1, 1)
+        up_c = pltpu.roll(cprev[...], 1, 1)
+        up_p = pltpu.roll(pprev[...], 1, 1)
+        left_c = cprev[...]
+        left_p = pprev[...]
+        dc = jnp.where(eq, diag_c, diag_c + 1)
+        dp_ = jnp.where(eq, diag_p + (1 << PAYB), diag_p)
+        hc = left_c + 1
+        use_h = hc < dc                  # diag preferred on ties
+        cand_c = jnp.where(use_h, hc, dc)
+        cand_p = jnp.where(use_h, left_p, dp_)
+        vc = up_c + 1
+        use_v = vc < cand_c              # vertical only when strictly cheaper
+        cand_c = jnp.where(use_v, vc, cand_c)
+        cand_p = jnp.where(use_v, up_p, cand_p)
+        # row 0 at column j = d: START_WITHIN_SEQ2 reset (0, m=0, o=j)
+        cand_c = jnp.where(is0, 0, cand_c)
+        cand_p = jnp.where(is0, d + RP, cand_p)
+        # column j = 0 boundary at row i == d (false once d >= RP)
+        at_b = rows3 == d
+        cand_c = jnp.where(at_b, bnd_c, cand_c)
+        cand_p = jnp.where(at_b, bnd_p, cand_p)
+
+        # row-m candidate of each adapter: column j_a = d - m_a
+        cm = jnp.sum(jnp.where(onem, cand_c, 0), axis=1)   # [Ap, TB]
+        pm = jnp.sum(jnp.where(onem, cand_p, 0), axis=1)
+        mm = pm >> PAYB
+        om = (pm & PAYMASK) - RP
+        if mode_front:
+            refstart = jnp.maximum(-om, 0)
+            oh_rs = rows3 == refstart[:, None, :]
+            kmax = jnp.sum(jnp.where(oh_rs, kbyrs_ref[...][:, :, None],
+                                     0), axis=1)
+        else:
+            kmax = jnp.broadcast_to(kconst_ref[:, 0][:, None], cm.shape)
+        ja = jnp.broadcast_to(d - mrow, cm.shape)
+        ok = (cm <= kmax) & (ja <= lens)  # d < m rows hold BIG cost
+        better = ok & ((mm > out_m[...]) |
+                       ((mm == out_m[...]) & (cm < out_c[...])))
+        out_v[...] = jnp.where(better, 1, out_v[...])
+        out_m[...] = jnp.where(better, mm, out_m[...])
+        out_c[...] = jnp.where(better, cm, out_c[...])
+        out_o[...] = jnp.where(better, om, out_o[...])
+        out_q[...] = jnp.where(better, ja, out_q[...])
+        oki = ok.astype(jnp.int32)
+        out_nl[...] = out_nl[...] + oki * (1 - pok[...])
+        out_na[...] = out_na[...] + oki
+        pok[...] = oki
+        if snapshot:
+            at_end = (d - rows3) == lens[None, :, :]
+            sc[...] = jnp.where(at_end, cand_c, sc[...])
+            spay[...] = jnp.where(at_end, cand_p, spay[...])
+        return cand_c, cand_p
+
+    D = L + RP - 1
+    nit = (D + 1) // 2
+
+    def two(t, _):
+        d = 2 * t + 1
+        nc, np_ = step(d, ca, pa, cb, pb)    # writes plane parity odd
+        cb[...] = nc
+        pb[...] = np_
+        nc, np_ = step(d + 1, cb, pb, ca, pa)
+        ca[...] = nc
+        pa[...] = np_
+        return 0
+
+    jax.lax.fori_loop(0, nit, two, 0)
+
+    if snapshot:
+        # final-column candidates from the snapshot (identical to
+        # _kernel's epilogue)
+        sm = spay[...] >> PAYB
+        okf = sc[...] <= kfin_ref[...][:, :, None]
+        key = jnp.where(okf,
+                        ((RP - sm) << 16)
+                        + (jnp.minimum(sc[...], 255) << 8) + rows3,
+                        BIG)
+        kbest = jnp.min(key, axis=1)                 # [Ap, TB]
+        okb = kbest < BIG
+        fm = RP - (kbest >> 16)
+        fc = (kbest >> 8) & 255
+        frow = kbest & 255
+        oh = (key == kbest[:, None, :]) & okf
+        so = (spay[...] & PAYMASK) - RP
+        fo = jnp.sum(jnp.where((rows3 == frow[:, None, :]) & oh, so,
+                               0), axis=1)
+        better = okb & ((fm > out_m[...]) |
+                        ((fm == out_m[...]) & (fc < out_c[...])))
+        out_v[...] = jnp.where(better, 1, out_v[...])
+        out_m[...] = jnp.where(better, fm, out_m[...])
+        out_c[...] = jnp.where(better, fc, out_c[...])
+        out_o[...] = jnp.where(better, fo, out_o[...])
+        out_q[...] = jnp.where(better, jnp.broadcast_to(lens, (Ap, TB)),
+                               out_q[...])
+        out_r[...] = jnp.where(better, frow, out_r[...])
+
+
+#: locate kernel implementation: 'wf' (anti-diagonal wavefront, default)
+#: or 'ks' (per-column Kogge-Stone scan). Bit-identical outputs
+#: (tests/test_pallas_locate.py runs both); env escape hatch.
+import os as _os
+LOCATE_IMPL = _os.environ.get("TPU_ORC_LOCATE_IMPL", "wf")
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("mode", "Ap", "L", "interpret"))
+                   static_argnames=("mode", "Ap", "L", "interpret",
+                                    "impl"))
 def locate_tiles(ref, kbyrs, kfin, onem, mrow, kconst, reads_T, lens,
                  mode, Ap: int, L: int,
-                 interpret: bool = False):
+                 interpret: bool = False, impl: str | None = None):
     """reads_T [L, B] int32, lens [1, B]; B % TB == 0. Returns 8 arrays
     [Ap, B]: matches, errors, origin, qstop, valid, refstop-row, nloc,
-    nacc. mode: 'front' | 'back' | 'infix' (legacy bool = front/back)."""
+    nacc. mode: 'front' | 'back' | 'infix' (legacy bool = front/back).
+    impl: 'wf' | 'ks' (None = LOCATE_IMPL env default)."""
     if mode is True or mode is False:
         mode = "front" if mode else "back"
+    if impl is None:
+        impl = LOCATE_IMPL
     if L >= (1 << PAYB) - RP:
         raise ValueError(f"read length {L} overflows the packed origin "
                          f"field (max {(1 << PAYB) - RP - 1})")
     B = reads_T.shape[1]
     grid = (B // TB,)
-    kernel = functools.partial(_kernel, mode, Ap, L)
     const_spec = pl.BlockSpec((Ap, RP), lambda b: (0, 0),
                               memory_space=pltpu.VMEM)
+    vec_spec = [pl.BlockSpec((Ap, 1), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)] * 2
+    if impl == "wf":
+        # reversed + RP-zero-padded read rows: win[i] = read[d-1-i] is
+        # one ascending slice at offset L - d + RP (kernel docstring)
+        zpad = jnp.zeros((RP, B), reads_T.dtype)
+        erev = jnp.concatenate([zpad, reads_T[::-1], zpad], axis=0)
+        kernel = functools.partial(_kernel_wf, mode, Ap, L)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[const_spec] * 4 + vec_spec + [
+                pl.BlockSpec((L + 2 * RP, TB), lambda b: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TB), lambda b: (0, b),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[pl.BlockSpec((Ap, TB), lambda b: (0, b),
+                                    memory_space=pltpu.VMEM)] * 8,
+            out_shape=[jax.ShapeDtypeStruct((Ap, B), jnp.int32)] * 8,
+            scratch_shapes=[pltpu.VMEM((Ap, RP, TB), jnp.int32)] * 6
+            + [pltpu.VMEM((Ap, TB), jnp.int32)],
+            interpret=interpret,
+        )(ref, kbyrs, kfin, onem, mrow, kconst, erev, lens)
+    kernel = functools.partial(_kernel, mode, Ap, L)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            const_spec, const_spec, const_spec, const_spec,
-            pl.BlockSpec((Ap, 1), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Ap, 1), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=[const_spec] * 4 + vec_spec + [
             pl.BlockSpec((L, TB), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TB), lambda b: (0, b),

@@ -384,35 +384,47 @@ def materialize_batch(records: Sequence[Record], sp5_names, sp27_names,
     # final[j] = comp^(rc1^rc2)(seq[src2]):
     #   round 1: j -> oriented k = j + qe1 -> source rc1 ? lens-1-k : k
     #   round 2: j -> t1 index a = rc2 ? len1-1-j : j, then round-1 map.
+    # Both maps are per-row AFFINE in j (src = base + sign*j), so each
+    # src matrix is ONE fused multiply-add with the row offset folded
+    # into base; out-of-range entries (j past the output length) are
+    # clamped C-side by take(mode='clip') and zeroed by the validity
+    # mask — the r4 version spent ~14 full [B, L] int32 passes here
+    # (45 ms/2048-chunk, the single biggest demux host term).
     B, L = amat.shape
     j = np.arange(L, dtype=np.int32)[None, :]
     len1 = lens - qe1
     flen = np.where(idx2 >= 0, np.minimum(qs2, len1), len1)
-    last = (lens - 1)[:, None]
-    rc1c = rc1[:, None]
-    k1 = j + qe1[:, None]
-    src1 = np.where(rc1c, last - k1, k1)
-    np.clip(src1, 0, L - 1, out=src1)
-    k2 = np.where(rc2[:, None], (len1 - 1)[:, None] - j, j)
-    k2 += qe1[:, None]
-    src2 = np.where(rc1c, last - k2, k2)
-    np.clip(src2, 0, L - 1, out=src2)
+    rowoff = np.arange(B, dtype=np.int32) * L
+    sign1 = np.where(rc1, np.int32(-1), np.int32(1))
+    base1 = np.where(rc1, lens - 1 - qe1, qe1)
+    # src2 = rc1 ? (lens-1) - k2 : k2, k2 = qe1 + (rc2 ? len1-1-j : j)
+    sign2 = sign1 * np.where(rc2, np.int32(-1), np.int32(1))
+    base2 = np.where(rc1, lens - 1 - qe1, qe1) \
+        + sign1 * np.where(rc2, len1 - 1, 0)
+    src1 = sign1[:, None] * j
+    src1 += (base1 + rowoff)[:, None]
+    np.clip(src1, 0, B * L - 1, out=src1)
+    src2 = sign2[:, None] * j
+    src2 += (base2 + rowoff)[:, None]
+    np.clip(src2, 0, B * L - 1, out=src2)
     v1 = j < len1[:, None]
     v2 = j < flen[:, None]
     comp = encode._COMP_TAB
-    t1 = np.take_along_axis(amat, src1, axis=1)
+    aflat = amat.reshape(-1)
+    t1 = aflat[src1]
     # complement only the rc rows (half the batch in mixed input)
     rrows = np.flatnonzero(rc1)
     t1[rrows] = comp[t1[rrows]]
     t1 *= v1
-    fin = np.take_along_axis(amat, src2, axis=1)
+    fin = aflat[src2]
     crows = np.flatnonzero(rc1 ^ rc2)
     fin[crows] = comp[fin[crows]]
     fin *= v2
     if have_q:
-        q1 = np.take_along_axis(qmat, src1, axis=1)
+        qflat = qmat.reshape(-1)
+        q1 = qflat[src1]
         q1 *= v1
-        q2 = np.take_along_axis(qmat, src2, axis=1)
+        q2 = qflat[src2]
         q2 *= v2
 
     # one decode per matrix; python string slicing per read (latin-1 is

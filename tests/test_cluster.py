@@ -357,3 +357,30 @@ def test_engine_sort_device_backend_identical(monkeypatch):
             (tuple(sorted(g.members)), g.consensus)
             for gg in res.species for g in gg]
     assert results["native"] == results["device"]
+
+
+def test_entries_from_counts_matches_python_homopolymersort():
+    """The lexsort-vectorized consensus pass equals the per-run Python
+    sort reference on random pileups (incl. tie columns)."""
+    import numpy as np
+    from tpu_orc.cluster.consensus import (_entries_from_counts,
+                                           _homopolymersort,
+                                           top2_from_counts)
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        W = int(rng.integers(1, 120))
+        c = int(rng.integers(2, 40))
+        counts = rng.integers(0, c, size=(W, 5)).astype(np.int64)
+        counts[rng.random(W) < 0.3] = 0  # empty columns
+        thr = float(rng.choice([0.45, 0.15, 0.5]))
+        tb, tc = top2_from_counts(counts)
+        keep = (tb[:, 0] >= 0) & (tc[:, 0] > c * 0.10)
+        want_entries = _homopolymersort(
+            [(int(b0), int(c0), int(b1), int(c1))
+             for b0, c0, b1, c1 in zip(tb[keep, 0], tc[keep, 0],
+                                       tb[keep, 1], tc[keep, 1])])
+        want_cons = np.asarray(
+            [e[0] for e in want_entries if e[1] > c * thr], np.uint8)
+        got_entries, got_cons = _entries_from_counts(counts, c, thr)
+        assert got_entries == want_entries, trial
+        assert np.array_equal(got_cons, want_cons), trial

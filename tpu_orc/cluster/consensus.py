@@ -214,15 +214,30 @@ def build_consensus(read_codes: Sequence[np.ndarray],
 def _entries_from_counts(counts: np.ndarray, c: int, thr: float):
     """One consensus pass from pileup counts: top-2 extraction, 10%
     support keep, homopolymersort, threshold cut. Returns
-    (entries, new consensus codes)."""
+    (entries, new consensus codes).
+
+    Vectorized: homopolymersort = stable lexsort by (run id, count
+    desc) — identical to the per-run Python sort (_homopolymersort,
+    kept as the test reference); the per-column tuple list was ~45 ms
+    of each 80-read bin's sort (24 consensus builds x 3 passes)."""
     tb, tc = top2_from_counts(counts)
     keep = (tb[:, 0] >= 0) & (tc[:, 0] > c * 0.10)
-    entries = [(int(b0), int(c0), int(b1), int(c1))
-               for b0, c0, b1, c1 in zip(tb[keep, 0], tc[keep, 0],
-                                         tb[keep, 1], tc[keep, 1])]
-    entries = _homopolymersort(entries)
-    consensus = np.asarray([e[0] for e in entries if e[1] > c * thr],
-                           dtype=np.uint8)
+    b0 = tb[keep, 0]
+    c0 = tc[keep, 0]
+    b1 = tb[keep, 1]
+    c1 = tc[keep, 1]
+    if len(b0):
+        runs = np.zeros(len(b0), np.int64)
+        np.cumsum(b0[1:] != b0[:-1], out=runs[1:])
+        # the reference flushes (sorts) a run only when the base
+        # CHANGES — the trailing run is emitted unsorted; replicate by
+        # zeroing its sort key (stable lexsort keeps input order)
+        key = np.where(runs != runs[-1], -c0, 0)
+        order = np.lexsort((key, runs))
+        b0, c0, b1, c1 = b0[order], c0[order], b1[order], c1[order]
+    consensus = b0[c0 > c * thr].astype(np.uint8)
+    entries = list(zip(b0.tolist(), c0.tolist(),
+                       b1.tolist(), c1.tolist()))
     return entries, consensus
 
 

@@ -198,6 +198,13 @@ def locate_batch_lazy(bank: AdapterBank, seqs: Sequence[str], flags,
                                            _mode_of)
         tabs = tables_for_bank(bank, _mode_of(flags), min_overlap)
         lazy, A, B0 = locate_dispatch(tabs, masks, lens, _mode_of(flags))
+        try:
+            # stream the stacked result host-ward as it completes so the
+            # collect is a local read, not a relay round-trip (the
+            # fused-demux async-copy pattern)
+            lazy.copy_to_host_async()
+        except Exception:
+            pass
         return ("lazy", lazy, A, B0)
     return ("done", batched_locate(bank.masks, bank.lens, bank.k_table,
                                    bank.n_prefix, masks, lens, int(flags),

@@ -202,9 +202,18 @@ class Reorienter:
                   list(records)[:self.cfg.autotune_sample]]
         if not sample:
             return AUTOTUNE_GRID[len(AUTOTUNE_GRID) // 2]
-        counts = []
+        # the 9 grid scans are independent: dispatch them ALL before
+        # collecting any (one relay round-trip instead of nine)
+        from .demux import locate_batch_collect, locate_batch_lazy
+        handles = []
         for q in AUTOTUNE_GRID:  # descending (strict -> lenient)
-            hits = self._locate_all(sample, q)
+            bank, _ = self._bank_for(q)
+            handles.append(locate_batch_lazy(
+                bank, sample, INFIX, self.cfg.min_primer_overlap))
+        counts = []
+        for handle in handles:
+            hits = {k: np.asarray(v) for k, v in
+                    locate_batch_collect(handle)._asdict().items()}
             cfg_idx, _, _, _, _ = self._classify_batch(hits)
             counts.append(int((cfg_idx >= 0).sum()))
         mx = max(counts)

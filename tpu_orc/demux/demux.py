@@ -547,6 +547,138 @@ def _decisions_sharded(records: Sequence[Record], sp5: AdapterBank,
 _decisions_sharded.fd_cache = {}
 
 
+class _BinWriters:
+    """Lazily opened, append-streaming per-bin output writers: one gz
+    text handle per bin held open across chunks, so a streaming demux
+    never re-reads or re-compresses earlier output (multiple .write
+    calls on one handle produce a single gzip member — byte-equivalent
+    content to a one-shot write)."""
+
+    def __init__(self, fmt: str):
+        self.fmt = fmt
+        self._fh: Dict[str, object] = {}
+
+    def write(self, path: str, recs: Sequence[Record]) -> None:
+        from ..io.fastq import _open
+        fh = self._fh.get(path)
+        if fh is None:
+            os.makedirs(os.path.dirname(os.path.abspath(path)),
+                        exist_ok=True)
+            fh = self._fh[path] = _open(path, "wt")
+        if self.fmt == "fastq":
+            fh.write("".join(f"@{r.desc}\n{r.seq}\n+\n{r.qual or ''}\n"
+                             for r in recs))
+        else:
+            fh.write("".join(f">{r.desc}\n{r.seq}\n" for r in recs))
+
+    def close(self) -> None:
+        for fh in self._fh.values():
+            fh.close()
+        self._fh.clear()
+
+
+def dual_round_demux_stream(record_iter, sp5: AdapterBank,
+                            sp27rc: AdapterBank, dataset: str,
+                            outdir: str, write: bool = True,
+                            fmt: str = "fastq", batch_size: int = 256,
+                            chunk_size: int = 16384, mesh=None) -> Dict:
+    """Streaming core of :func:`dual_round_demux`: consumes an ITERABLE
+    of records in ``chunk_size`` blocks with O(chunk + counters) host
+    memory — a flowcell-scale FASTQ (millions of reads,
+    /root/reference/README.md:38-40) never materializes as Python
+    records. Outputs (bins, JSON reports, counters) are identical to
+    the list API; per-bin files stream through held-open gz handles.
+    """
+    from .report import RoundReportAccum
+    fused = None
+    if mesh is None or mesh.devices.size <= 1:
+        if _use_fused(sp5, sp27rc):
+            from .fused import FusedDemux
+            fused = FusedDemux(sp5, sp27rc)
+
+    r1_counts: Dict[str, int] = defaultdict(int)
+    r2_counts: Dict[str, Dict[str, int]] = defaultdict(
+        lambda: defaultdict(int))
+    fin_counts: Dict[str, int] = defaultdict(int)
+    acc = RoundReportAccum()
+    writers = _BinWriters(fmt)
+    ext = ".fastq.gz" if fmt == "fastq" else ".fasta.gz"
+    total = 0
+    if write:
+        os.makedirs(os.path.join(outdir, "SP5"), exist_ok=True)
+        os.makedirs(os.path.join(outdir, "SP27"), exist_ok=True)
+
+    it = iter(record_iter)
+    try:
+        while True:
+            records = []
+            for r in it:
+                records.append(r)
+                if len(records) >= chunk_size:
+                    break
+            if not records:
+                break
+            total += len(records)
+            if mesh is not None and mesh.devices.size > 1:
+                dec = _decisions_sharded(records, sp5, sp27rc, mesh)
+            elif fused is not None:
+                # 2048-read chunks pipeline best: assign dispatches
+                # every chunk before fetching any, so host
+                # pack/materialize for chunk k overlaps device compute
+                # for k+1 (measured r3: 535 ms vs 1098 ms monolithic)
+                dec = [t[1:] for t in fused.assign(records,
+                                                   batch_size=2048)]
+            else:
+                dec = _decisions_unfused(records, sp5, sp27rc,
+                                         batch_size)
+            sp5_chunk: Dict[str, List[Record]] = defaultdict(list)
+            fin_chunk: Dict[str, List[Record]] = defaultdict(list)
+            for rec, row in zip(records, dec):
+                sp5_name, trimmed1, sp27_name, final = row[:4]
+                acc.add(rec, row)
+                r1_counts[sp5_name or UNKNOWN] += 1
+                if sp5_name is None:
+                    continue
+                sp5_chunk[sp5_name].append(trimmed1)
+                r2_counts[sp5_name][sp27_name or UNKNOWN] += 1
+                if sp27_name is None or sp27_name in INVALID_SP27:
+                    continue
+                fin_chunk[f"{sp27_name}_{sp5_name}"].append(final)
+            if write:
+                for sp5_name, recs in sp5_chunk.items():
+                    writers.write(
+                        os.path.join(outdir, "SP5",
+                                     f"{sp5_name}_{dataset}{ext}"), recs)
+                for comb, recs in fin_chunk.items():
+                    fin_counts[comb] += len(recs)
+                    writers.write(
+                        os.path.join(outdir, "SP27",
+                                     f"{comb}_{dataset}{ext}"), recs)
+            else:
+                for comb, recs in fin_chunk.items():
+                    fin_counts[comb] += len(recs)
+    finally:
+        writers.close()
+
+    report = {
+        "dataset": dataset,
+        "total_reads": total,
+        "round1": dict(r1_counts),
+        "round2": {k: dict(v) for k, v in sorted(r2_counts.items())},
+    }
+    report["final_bins"] = {k: v for k, v in sorted(fin_counts.items())}
+    if write:
+        import json
+        with open(os.path.join(outdir, f"demux_{dataset}.json"),
+                  "w") as fh:
+            json.dump(report, fh, indent=2)
+        # real cutadapt-schema --json reports, one per round/bin
+        # (02_cutadapt_loop.sh:72,102)
+        acc.write(outdir, dataset, dataset, sp5, sp27rc,
+                  sp5.max_error_rate)
+    return report
+
+
 def dual_round_demux(records: Sequence[Record], sp5: AdapterBank,
                      sp27rc: AdapterBank, dataset: str, outdir: str,
                      write: bool = True, fmt: str = "fastq",
@@ -563,63 +695,8 @@ def dual_round_demux(records: Sequence[Record], sp5: AdapterBank,
     On an accelerator both rounds run fused in one device program
     (demux/fused.py): a single upload, on-device rc + trim, six small
     vectors back. Falls back to the two-round XLA path elsewhere.
+    List wrapper over :func:`dual_round_demux_stream` (same outputs).
     """
-    records = list(records)
-    if mesh is not None and mesh.devices.size > 1:
-        dec = _decisions_sharded(records, sp5, sp27rc, mesh)
-    elif _use_fused(sp5, sp27rc):
-        from .fused import FusedDemux
-        # 2048-read chunks pipeline best: assign dispatches every chunk
-        # before fetching any, so host pack/materialize for chunk k
-        # overlaps device compute for k+1 (measured r3: 535 ms vs
-        # 1098 ms for one monolithic 8192 batch)
-        fb = min(max(batch_size, 2048), 2048)
-        dec = [t[1:] for t in FusedDemux(sp5, sp27rc).assign(
-            records, batch_size=fb)]
-    else:
-        dec = _decisions_unfused(records, sp5, sp27rc, batch_size)
-
-    sp5_bins: Dict[str, List[Record]] = defaultdict(list)
-    r2_counts: Dict[str, Dict[str, int]] = defaultdict(
-        lambda: defaultdict(int))
-    final_bins: Dict[str, List[Record]] = defaultdict(list)
-    for sp5_name, trimmed1, sp27_name, final, *_ in dec:
-        sp5_bins[sp5_name or UNKNOWN].append(trimmed1)
-        if sp5_name is None:
-            continue
-        r2_counts[sp5_name][sp27_name or UNKNOWN] += 1
-        if sp27_name is None or sp27_name in INVALID_SP27:
-            continue
-        final_bins[f"{sp27_name}_{sp5_name}"].append(final)
-
-    report = {
-        "dataset": dataset,
-        "total_reads": len(records),
-        "round1": {k: len(v) for k, v in sp5_bins.items()},
-        "round2": {k: dict(v) for k, v in sorted(r2_counts.items())},
-    }
-    report["final_bins"] = {k: len(v) for k, v in sorted(final_bins.items())}
-
-    if write:
-        ext = ".fastq.gz" if fmt == "fastq" else ".fasta.gz"
-        os.makedirs(os.path.join(outdir, "SP5"), exist_ok=True)
-        os.makedirs(os.path.join(outdir, "SP27"), exist_ok=True)
-        for sp5_name, recs in sp5_bins.items():
-            if sp5_name == UNKNOWN:
-                continue
-            write_records(
-                os.path.join(outdir, "SP5", f"{sp5_name}_{dataset}{ext}"),
-                recs, fmt=fmt)
-        for comb, recs in final_bins.items():
-            write_records(
-                os.path.join(outdir, "SP27", f"{comb}_{dataset}{ext}"),
-                recs, fmt=fmt)
-        import json
-        with open(os.path.join(outdir, f"demux_{dataset}.json"), "w") as fh:
-            json.dump(report, fh, indent=2)
-        # real cutadapt-schema --json reports, one per round/bin
-        # (02_cutadapt_loop.sh:72,102)
-        from .report import write_round_reports
-        write_round_reports(outdir, dataset, dataset, sp5, sp27rc,
-                            sp5.max_error_rate, dec, records)
-    return report
+    return dual_round_demux_stream(records, sp5, sp27rc, dataset,
+                                   outdir, write=write, fmt=fmt,
+                                   batch_size=batch_size, mesh=mesh)

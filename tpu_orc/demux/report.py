@@ -135,6 +135,83 @@ def cutadapt_report(*, input_path: str, where: str, e_rate: float,
     }
 
 
+class RoundReportAccum:
+    """Streamable counter accumulator behind write_round_reports: call
+    ``add(rec, row)`` per read (any chunking), then ``write(...)`` once.
+    Holds O(bins x adapters x lengths) counters, never records — the
+    streaming demux path's memory contract."""
+
+    def __init__(self):
+        self.per1: Dict[str, Dict] = defaultdict(
+            lambda: {"matches": 0, "rc": 0, "hist": defaultdict(int)})
+        self.n_rc1 = self.n_with1 = 0
+        self.bp_in1 = self.bp_out1 = 0
+        self.n_records = 0
+        self.bin2: Dict[str, Dict] = defaultdict(
+            lambda: {"per": defaultdict(
+                lambda: {"matches": 0, "rc": 0, "hist": defaultdict(int)}),
+                "n_rc": 0, "n_with": 0, "bp_in": 0, "bp_out": 0,
+                "rows": 0})
+
+    def add(self, rec, row) -> None:
+        sp5_name, trimmed1, sp27_name, final, rc1, err1, rc2, err2 = \
+            row[:8]
+        self.n_records += 1
+        self.bp_in1 += len(rec.seq)
+        self.bp_out1 += len(trimmed1.seq)
+        if sp5_name is None:
+            return
+        self.n_with1 += 1
+        self.n_rc1 += int(rc1)
+        st = self.per1[sp5_name]
+        st["matches"] += 1
+        st["rc"] += int(rc1)
+        st["hist"][(len(rec.seq) - len(trimmed1.seq), int(err1))] += 1
+        b = self.bin2[sp5_name]
+        b["rows"] += 1
+        b["bp_in"] += len(trimmed1.seq)
+        b["bp_out"] += len(final.seq)
+        if sp27_name is None:
+            return
+        b["n_with"] += 1
+        b["n_rc"] += int(rc2)
+        st2 = b["per"][sp27_name]
+        st2["matches"] += 1
+        st2["rc"] += int(rc2)
+        st2["hist"][(len(trimmed1.seq) - len(final.seq), int(err2))] += 1
+
+    def write(self, outdir: str, dataset: str, input_path: str,
+              sp5, sp27rc, e_rate: float) -> None:
+        rep1 = cutadapt_report(
+            input_path=input_path, where="front", e_rate=e_rate,
+            bank=sp5, n_input=self.n_records, n_output=self.n_records,
+            bp_input=self.bp_in1, bp_output=self.bp_out1,
+            n_with_adapter=self.n_with1, n_rc=self.n_rc1,
+            per_adapter=self.per1,
+            command_line=["--action=trim", "-e", str(e_rate), "--rc",
+                          "-g", "file:SP5", "--json"])
+        os.makedirs(os.path.join(outdir, "SP5"), exist_ok=True)
+        with open(os.path.join(outdir, "SP5",
+                               f"cutadapt_SP5_{dataset}.json"),
+                  "w") as fh:
+            json.dump(rep1, fh, indent=2)
+        os.makedirs(os.path.join(outdir, "SP27"), exist_ok=True)
+        for sp5_name, b in sorted(self.bin2.items()):
+            rep = cutadapt_report(
+                input_path=f"{sp5_name}_{dataset}.fastq.gz",
+                where="back", e_rate=e_rate, bank=sp27rc,
+                n_input=b["rows"], n_output=b["rows"],
+                bp_input=b["bp_in"], bp_output=b["bp_out"],
+                n_with_adapter=b["n_with"], n_rc=b["n_rc"],
+                per_adapter=b["per"],
+                command_line=["--action=trim", "-e", str(e_rate),
+                              "--rc", "-a", "file:SP27rc", "--json"])
+            with open(os.path.join(outdir, "SP27",
+                                   f"{sp5_name}_{dataset}.json"),
+                      "w") as fh:
+                json.dump(rep, fh, indent=2)
+
+
 def write_round_reports(outdir: str, dataset: str, input_path: str,
                         sp5, sp27rc, e_rate: float, decisions,
                         records) -> None:
@@ -146,65 +223,7 @@ def write_round_reports(outdir: str, dataset: str, input_path: str,
 
     mirroring 02_cutadapt_loop.sh:72,102.
     """
-    # --- round 1 ---------------------------------------------------------
-    per1: Dict[str, Dict] = defaultdict(
-        lambda: {"matches": 0, "rc": 0, "hist": defaultdict(int)})
-    n_rc = n_with = 0
-    bp_in = bp_out = 0
+    acc = RoundReportAccum()
     for rec, row in zip(records, decisions):
-        sp5_name, trimmed1, _, _, rc1, err1 = row[:6]
-        bp_in += len(rec.seq)
-        bp_out += len(trimmed1.seq)
-        if sp5_name is None:
-            continue
-        n_with += 1
-        n_rc += int(rc1)
-        st = per1[sp5_name]
-        st["matches"] += 1
-        st["rc"] += int(rc1)
-        st["hist"][(len(rec.seq) - len(trimmed1.seq), int(err1))] += 1
-    rep1 = cutadapt_report(
-        input_path=input_path, where="front", e_rate=e_rate, bank=sp5,
-        n_input=len(records), n_output=len(records), bp_input=bp_in,
-        bp_output=bp_out, n_with_adapter=n_with, n_rc=n_rc,
-        per_adapter=per1,
-        command_line=["--action=trim", "-e", str(e_rate), "--rc", "-g",
-                      "file:SP5", "--json"])
-    os.makedirs(os.path.join(outdir, "SP5"), exist_ok=True)
-    with open(os.path.join(outdir, "SP5",
-                           f"cutadapt_SP5_{dataset}.json"), "w") as fh:
-        json.dump(rep1, fh, indent=2)
-
-    # --- round 2, one report per SP5 bin ---------------------------------
-    bins: Dict[str, List[Tuple]] = defaultdict(list)
-    for row in decisions:
-        if row[0] is not None:
-            bins[row[0]].append(row)
-    os.makedirs(os.path.join(outdir, "SP27"), exist_ok=True)
-    for sp5_name, rows in sorted(bins.items()):
-        per2: Dict[str, Dict] = defaultdict(
-            lambda: {"matches": 0, "rc": 0, "hist": defaultdict(int)})
-        n_rc = n_with = bp_in = bp_out = 0
-        for (_, trimmed1, sp27_name, final, _, _, rc2, err2) in rows:
-            bp_in += len(trimmed1.seq)
-            bp_out += len(final.seq)
-            if sp27_name is None:
-                continue
-            n_with += 1
-            n_rc += int(rc2)
-            st = per2[sp27_name]
-            st["matches"] += 1
-            st["rc"] += int(rc2)
-            st["hist"][(len(trimmed1.seq) - len(final.seq),
-                        int(err2))] += 1
-        rep = cutadapt_report(
-            input_path=f"{sp5_name}_{dataset}.fastq.gz",
-            where="back", e_rate=e_rate, bank=sp27rc,
-            n_input=len(rows), n_output=len(rows), bp_input=bp_in,
-            bp_output=bp_out, n_with_adapter=n_with, n_rc=n_rc,
-            per_adapter=per2,
-            command_line=["--action=trim", "-e", str(e_rate), "--rc",
-                          "-a", "file:SP27rc", "--json"])
-        with open(os.path.join(outdir, "SP27",
-                               f"{sp5_name}_{dataset}.json"), "w") as fh:
-            json.dump(rep, fh, indent=2)
+        acc.add(rec, row)
+    acc.write(outdir, dataset, input_path, sp5, sp27rc, e_rate)

@@ -210,3 +210,80 @@ def test_multihost_two_process_localhost(tmp_path):
     all_files = sorted(r0["files"] + r1["files"])
     assert all_files == [f"bin_{i:02d}.fastq" for i in range(7)]
     assert not set(r0["files"]) & set(r1["files"])
+
+
+def test_multihost_two_process_e2e_consensusfile(tmp_path):
+    """Multi-host END-TO-END (VERDICT r4 next#7): 2 jax.distributed
+    processes sort disjoint host_file_shard bins, the coordinator
+    merges the run-level consensusfile.fasta, and the result is
+    byte-identical to a single-process run over all bins."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    from tpu_orc.cluster.engine import AmpliconSorter, SorterConfig
+    from tpu_orc.cluster.output import write_barcode_consensus
+    from tpu_orc.cluster.scoring import DeviceScorer
+    from tpu_orc.io.fastq import Record, read_records, write_records
+
+    rng = np.random.default_rng(99)
+    indir = tmp_path / "bins_in"
+    indir.mkdir()
+    for b in range(3):
+        t1 = "".join(rng.choice(list("ACGT"), size=360))
+        t2 = "".join(rng.choice(list("ACGT"), size=370))
+        recs = []
+        for i in range(24):
+            t = t1 if i < 12 else t2
+            s = list(t)
+            for p in rng.choice(len(s), 6, replace=False):
+                s[int(p)] = "ACGT"[int(rng.integers(4))]
+            recs.append(Record(f"b{b}r{i}", f"b{b}r{i}", "".join(s),
+                               "I" * len(s)))
+        write_records(str(indir / f"SP27_00{b + 1}_SP5_001.fastq"),
+                      recs, fmt="fastq")
+
+    # single-process reference: same per-bin seeding, sorted bin order
+    ref_dir = tmp_path / "ref"
+    for path in sorted(indir.glob("*.fastq")):
+        barcode = path.stem
+        srt = AmpliconSorter(SorterConfig(min_length=300, seed=7),
+                             scorer=DeviceScorer(backend="native"))
+        result = srt.sort_records(list(read_records(str(path))))
+        write_barcode_consensus(result, str(ref_dir / "bins"), barcode,
+                                "e2e")
+    ref = "".join(
+        open(p).read() for p in sorted(
+            (ref_dir / "bins").glob("*_consensus_e2e.fasta")))
+    assert ref.count(">") >= 3  # every bin contributes >= 1 group
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "helpers",
+                          "multihost_e2e_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(worker))))
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo_root] + env.get("PYTHONPATH", "").split(os.pathsep))
+    outdir = tmp_path / "mh"
+    outdir.mkdir()
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coord, "2", str(pid), str(indir),
+         str(outdir)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(2)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{so}\n{se}"
+    r0 = json.load(open(outdir / "e2e_result_0.json"))
+    r1 = json.load(open(outdir / "e2e_result_1.json"))
+    assert r0["is_coord"] and not r1["is_coord"]
+    assert not set(r0["bins"]) & set(r1["bins"])
+    assert len(r0["bins"]) + len(r1["bins"]) == 3
+    merged = open(outdir / "consensusfile.fasta").read()
+    assert merged == ref

@@ -639,3 +639,32 @@ def test_block_profile_no_new_false_positives():
         assert ids <= ref_ids
         for h in got[gene]:
             assert h.score <= 1.0, "random contig passed the profile gate"
+
+
+def test_barrnap_gff3_sidecar(tmp_path):
+    """extract_rrna writes the reference's barrnap_outs/ sidecars
+    (05a_barrnap_rRNA_extract.sh:66-72): a GFF3 with 1-based inclusive
+    coordinates + barrnap attribute conventions, and the combined
+    pre-split _euk.fa."""
+    from tpu_orc.rrna.extract import RRNAHit, write_barrnap_sidecars
+    hits = {
+        "18S": [RRNAHit("18S", "c1", 0, 1800, "+", 321.5, "A" * 1800)],
+        "28S": [RRNAHit("28S", "c1", 2100, 5400, "+", 777.0,
+                        "G" * 3300),
+                RRNAHit("28S", "c0", 5, 105, "-", 50.0, "C" * 100)],
+    }
+    gff = write_barrnap_sidecars(hits, str(tmp_path), "s1")
+    lines = open(gff).read().splitlines()
+    assert lines[0] == "##gff-version 3"
+    rows = [ln.split("\t") for ln in lines[1:]]
+    assert len(rows) == 3
+    # sorted by (contig, start); 1-based inclusive starts
+    assert rows[0][0] == "c0" and rows[0][3] == "6" and rows[0][4] == "105"
+    assert rows[0][6] == "-" and "Name=28S_rRNA" in rows[0][8]
+    assert rows[1][0] == "c1" and rows[1][3] == "1" and rows[1][4] == "1800"
+    assert "product=18S ribosomal RNA" in rows[1][8]
+    assert rows[2][3] == "2101" and rows[2][4] == "5400"
+    fa = open(tmp_path / "barrnap_outs" / "s1_euk.fa").read()
+    assert ">28S_rRNA::c0:5-105(-)" in fa
+    assert ">18S_rRNA::c1:0-1800(+)" in fa
+    assert fa.count(">") == 3

@@ -218,4 +218,38 @@ def extract_rrna(records: Sequence[Record], outdir: str, name: str,
         os.makedirs(outdir, exist_ok=True)
         write_records(os.path.join(outdir, f"{name}_{gene}.fa"), recs,
                       fmt="fasta")
+    write_barrnap_sidecars(out, outdir, name)
     return out
+
+
+def write_barrnap_sidecars(hits_by_gene: Dict[str, List[RRNAHit]],
+                           outdir: str, name: str) -> str:
+    """barrnap-layout sidecars (05a_barrnap_rRNA_extract.sh:66-72): a
+    ``barrnap_outs/`` subdirectory holding ``<name>_euk.gff3`` (one
+    GFF3 row per hit, barrnap's column conventions: 1-based inclusive
+    coordinates, ``Name=<gene>_rRNA;product=<gene> ribosomal RNA``
+    attributes) and ``<name>_euk.fa`` — the combined pre-split FASTA
+    the reference's seqkit step greps 18S/28S out of. Returns the GFF3
+    path."""
+    bdir = os.path.join(outdir, "barrnap_outs")
+    os.makedirs(bdir, exist_ok=True)
+    rows = []
+    combined: List[Record] = []
+    for gene in sorted(hits_by_gene):
+        for h in hits_by_gene[gene]:
+            rows.append((h.contig_id, h.start, h.end, h.strand, gene,
+                         h.score, h.seq))
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    gff = os.path.join(bdir, f"{name}_euk.gff3")
+    with open(gff, "w") as fh:
+        fh.write("##gff-version 3\n")
+        for contig, s, e, strand, gene, score, seq in rows:
+            attrs = (f"Name={gene}_rRNA;"
+                     f"product={gene} ribosomal RNA")
+            fh.write(f"{contig}\ttpu_orc:rrna\trRNA\t{s + 1}\t{e}\t"
+                     f"{score:.1f}\t{strand}\t.\t{attrs}\n")
+            hid = f"{gene}_rRNA::{contig}:{s}-{e}"
+            combined.append(Record(hid, f"{hid}({strand})", seq))
+    write_records(os.path.join(bdir, f"{name}_euk.fa"), combined,
+                  fmt="fasta")
+    return gff

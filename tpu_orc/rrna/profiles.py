@@ -255,8 +255,12 @@ def find_rrna_default(records: Sequence[Record],
                 and int(s18.node[k]) >= p18.K - len18_last):
             # the ITS1 site's 3' end IS the junction; if the local path
             # ends early inside the terminal block (noisy tail trimmed),
-            # extrapolate the unmatched remainder of the site
-            end18 = int(s18.pos[k]) + (p18.K - 1 - int(s18.node[k]))
+            # extrapolate the unmatched remainder of the site — clamped
+            # to the read (a trimmed tail near the read end must not
+            # produce e > n / negative '-'-strand start; the 28S path
+            # has the symmetric max(0, ...) guard)
+            end18 = min(int(s18.pos[k]) + (p18.K - 1 - int(s18.node[k])),
+                        n)
             score18 = float(s18.score[k])
         elif ident[0, k] >= min_anchor_identity:
             end18 = int(end_pos[0, k])

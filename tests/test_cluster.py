@@ -384,3 +384,44 @@ def test_entries_from_counts_matches_python_homopolymersort():
         got_entries, got_cons = _entries_from_counts(counts, c, thr)
         assert got_entries == want_entries, trial
         assert np.array_equal(got_cons, want_cons), trial
+
+
+def test_sort_cli_flags_aln_all_ho(tmp_path):
+    """Reference CLI surface: -a/--all (one comparison block), -aln
+    (per-group star-alignment fasta), -ho (histogram figure only) —
+    amplicon_sorter.py:172-184."""
+    import json
+    import numpy as np
+    from tpu_orc.cli import main as cli_main
+    from tpu_orc.io.fastq import Record, write_records
+
+    rng = np.random.default_rng(31)
+    t1 = "".join(rng.choice(list("ACGT"), size=340))
+    recs = []
+    for i in range(12):
+        s = list(t1)
+        for p in rng.choice(len(s), 5, replace=False):
+            s[int(p)] = "ACGT"[int(rng.integers(4))]
+        recs.append(Record(f"m{i}", f"m{i}", "".join(s), "I" * len(s)))
+    fq = str(tmp_path / "bin.fastq")
+    write_records(fq, recs, fmt="fastq")
+
+    # --ho: histogram only, no sorted outputs
+    cli_main(["sort", fq, "-o", str(tmp_path / "ho"), "-b", "B1",
+              "--ho"])
+    figs = list((tmp_path / "ho").glob("*_total_outputfig.pdf"))
+    assert len(figs) == 1 and figs[0].stat().st_size > 500
+    assert not (tmp_path / "ho" / "sorted").exists()
+
+    # --all + --aln: sorted outputs + per-group alignment fasta
+    cli_main(["sort", fq, "-o", str(tmp_path / "srt"), "-b", "B1",
+              "--all", "--aln"])
+    alns = list((tmp_path / "srt" / "sorted" / "B1").glob(
+        "*_alignment.fasta"))
+    assert alns, "no alignment fasta written"
+    txt = open(alns[0]).read()
+    lines = txt.splitlines()
+    assert lines[0] == ">consensus"
+    widths = {len(ln) for ln in lines[1::2]}
+    assert len(widths) == 1  # all rows share the alignment width
+    assert txt.count(">") == 13  # consensus + 12 members

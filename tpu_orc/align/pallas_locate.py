@@ -547,10 +547,15 @@ def locate_dispatch(tabs: BankTables, read_masks: np.ndarray,
     # (minutes each on a slow service phase), and odd tail chunks — the
     # last partial chunk of a pipelined pass, small slow-path re-scans —
     # would otherwise each mint a fresh shape instead of reusing the
-    # main chunk's program
+    # main chunk's program. Growth is capped at 2048 (the pipelined
+    # chunk size): beyond it, round to the next 2048 multiple so a
+    # caller dispatching just past a power of two (e.g. 2049) pads to
+    # 4096 at most once, not ~2x at every size (advisor r4).
     B = TB
-    while B < B0:
+    while B < B0 and B < 2048:
         B *= 2
+    if B0 > B:
+        B = -(-B0 // 2048) * 2048
     reads_T = np.zeros((L, B), np.int32)
     reads_T[:, :B0] = read_masks.T
     lens = np.zeros((1, B), np.int32)

@@ -179,3 +179,44 @@ def plot_readcount_means(rows: Sequence[Dict], path: str) -> str:
     ax.set_title("Readcount by primer set")
     ax.tick_params(axis="x", rotation=20)
     return _save(plt, fig, path)
+
+
+def plot_read_length_histogram(lengths, path: str,
+                               min_length: int = 300,
+                               max_length=None,
+                               n50=None) -> str:
+    """amplicon_sorter's read-length histogram figure (-ho /
+    figure(), amplicon_sorter.py:453-527): linear + log count panels,
+    dashed min/max length markers, yield/N50 annotation."""
+    lengths = list(lengths)
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(5, 5))
+    mx = max(lengths) if lengths else 1
+    hi = max_length if max_length is not None else mx
+    bases = sum(lengths)
+    kept = sum(1 for L in lengths if min_length <= L <= hi)
+    for ax, log in ((ax1, False), (ax2, True)):
+        ax.hist(lengths, bins="auto" if lengths else 10, color="green",
+                log=log)
+        ax.axvline(min_length, color="red", linewidth=0.8,
+                   linestyle="dashed")
+        ax.axvline(hi, color="red", linewidth=0.8, linestyle="dashed")
+    ax1.set_ylabel("Number of reads")
+    ax1.set_title("Read length histogram")
+    ax2.set_ylabel("Log Number of reads")
+    ax2.set_xlabel("Read length (bp)")
+    note = (f"Total yield (Gb): {bases / 1e9:.2f}\n"
+            f"Number of reads: {len(lengths):,}\n"
+            f"{min_length} < bp < {hi}: {kept:,}")
+    if n50 is not None:
+        note += f"\nN50 = {n50 / 1000:.1f} Kb"
+    ax1.text(0.95, 0.55, note, horizontalalignment="right",
+             transform=ax1.transAxes, fontsize=7)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, format="pdf" if path.endswith(".pdf") else None,
+                dpi=120)
+    plt.close(fig)
+    return path

@@ -97,6 +97,14 @@ def main(argv=None):
                     help="also write per-group .fastq outputs (-sfq)")
     sp.add_argument("--gz", action="store_true",
                     help="gzip group outputs (reference -c)")
+    sp.add_argument("--all", dest="compare_all", action="store_true",
+                    help="compare ALL selected reads with each other in "
+                         "one block (-a/--all)")
+    sp.add_argument("--aln", action="store_true",
+                    help="write per-group star-alignment fastas (-aln)")
+    sp.add_argument("--ho", action="store_true",
+                    help="only write the read-length histogram figure "
+                         "(-ho/--histogram_only)")
 
     sp = add("clean")
     sp.add_argument("input")
@@ -200,16 +208,38 @@ def main(argv=None):
     elif args.cmd == "sort":
         from .cluster.engine import SorterConfig
         from .pipeline.stages import PipelineConfig, stage_sort
+        if args.ho:
+            # reference -ho/--histogram_only (amplicon_sorter.py:
+            # 183-184, 627-628): only the read-length histogram figure
+            import os as _os
+
+            from .analysis.figures import plot_read_length_histogram
+            from .io.fastq import read_records
+            from .pipeline.qc import n50 as _n50
+            lens = [len(r.seq) for r in read_records(args.input)]
+            base = _os.path.basename(args.input)
+            for suf in (".gz", ".fastq", ".fasta"):
+                if base.endswith(suf):
+                    base = base[:-len(suf)]
+            fig = plot_read_length_histogram(
+                lens, _os.path.join(args.outdir,
+                                    f"{base}_total_outputfig.pdf"),
+                min_length=args.min, max_length=args.max,
+                n50=_n50(lens))
+            print(json.dumps({"histogram": fig, "reads": len(lens)}))
+            return
         cfg = PipelineConfig(sorter=SorterConfig(
             min_length=args.min, max_length=args.max, max_reads=args.maxr,
             seed=args.seed, ambiguous=args.amb,
             similar_genes=args.sg, similar_species_groups=args.ssg,
             similar_species=args.ss, similar_consensus=args.sc,
             length_diff_consensus=args.ldc,
-            random_selection=not args.sequential))
+            random_selection=not args.sequential,
+            compare_all=args.compare_all))
         result, path = stage_sort(args.input, args.outdir, args.barcode,
                                   args.prefix, cfg, save_fastq=args.sfq,
-                                  compressed=args.gz)
+                                  compressed=args.gz,
+                                  alignment=args.aln)
         print(json.dumps({"skipped": result.skipped,
                           "reads": result.n_reads,
                           "species_groups": sum(len(s)

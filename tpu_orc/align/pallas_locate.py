@@ -202,7 +202,7 @@ def _kernel(mode: str, Ap: int, L: int,
         out_r[...] = jnp.where(better, frow, out_r[...])
 
 
-def _kernel_wf(mode: str, Ap: int, L: int,
+def _kernel_wf(mode: str, Ap: int, As: int, L: int,
                ref_ref, kbyrs_ref, kfin_ref, onem_ref, mrow_ref,
                kconst_ref, erev_ref, lens_ref,
                out_m, out_c, out_o, out_q, out_v, out_r, out_nl, out_na,
@@ -224,24 +224,35 @@ def _kernel_wf(mode: str, Ap: int, L: int,
 
     Two DP planes (cost, pay) per parity: step d overwrites the d-2
     plane; the loop body unrolls two steps so plane roles are static.
+
+    ``As`` is the STATE adapter count: the adapter axis of the 3-D
+    planes has no sublane-tiling constraint (minor dims are RP x TB),
+    so it runs at the TRUE bank size while the constant tables stay at
+    the 8-sublane minimum and are sliced — a 4-primer reorient bank
+    halves its per-column vector work vs the Ap=8 padding.
     """
     mode_front = mode == "front"
     snapshot = mode == "back"
-    rows3 = jax.lax.broadcasted_iota(jnp.int32, (Ap, RP, TB), 1)
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (As, RP, TB), 1)
     lens = lens_ref[0, :][None, :]                  # [1, TB]
-    mrow = mrow_ref[:, 0][:, None]                  # [Ap, 1]
-    onem = onem_ref[...][:, :, None] != 0           # [Ap, RP, 1]
-    refm = ref_ref[...][:, :, None]                 # row i = adapter char i-1
+    # table slices to the state adapter count via lax.slice (a basic
+    # [:As] getitem lowers to an unsupported gather under Mosaic)
+    def tslice(ref2d, rows):
+        return jax.lax.slice(ref2d[...], (0, 0), (rows, ref2d.shape[1]))
+
+    mrow = jax.lax.slice(mrow_ref[...], (0, 0), (As, 1))  # [As, 1]
+    onem = tslice(onem_ref, As)[:, :, None] != 0          # [As, RP, 1]
+    refm = tslice(ref_ref, As)[:, :, None]   # row i = adapter char i-1
 
     # boundary column j=0 values (written when row i == d)
     if mode_front:  # free ref-prefix skip: cost 0, origin -i
-        bnd_c = jnp.zeros((Ap, RP, TB), jnp.int32)
+        bnd_c = jnp.zeros((As, RP, TB), jnp.int32)
         bnd_p = RP - rows3                           # m=0, o=-i
     else:           # pay deletions: cost i
         bnd_c = rows3
-        bnd_p = jnp.full((Ap, RP, TB), RP, jnp.int32)  # m=0, o=0
-    big3 = jnp.full((Ap, RP, TB), BIG, jnp.int32)
-    zero3 = jnp.zeros((Ap, RP, TB), jnp.int32)
+        bnd_p = jnp.full((As, RP, TB), RP, jnp.int32)  # m=0, o=0
+    big3 = jnp.full((As, RP, TB), BIG, jnp.int32)
+    zero3 = jnp.zeros((As, RP, TB), jnp.int32)
     is0 = rows3 == 0
 
     # plane for d = 0: cell (0, 0) = boundary; unreached rows BIG
@@ -254,15 +265,15 @@ def _kernel_wf(mode: str, Ap: int, L: int,
         sc[...] = big3
         spay[...] = zero3
 
-    out_v[...] = jnp.zeros((Ap, TB), jnp.int32)
-    out_m[...] = jnp.full((Ap, TB), -1, jnp.int32)
-    out_c[...] = jnp.full((Ap, TB), BIG, jnp.int32)
-    out_o[...] = jnp.zeros((Ap, TB), jnp.int32)
-    out_q[...] = jnp.zeros((Ap, TB), jnp.int32)
-    out_r[...] = jnp.broadcast_to(mrow, (Ap, TB))
-    out_nl[...] = jnp.zeros((Ap, TB), jnp.int32)
-    out_na[...] = jnp.zeros((Ap, TB), jnp.int32)
-    pok[...] = jnp.zeros((Ap, TB), jnp.int32)
+    out_v[...] = jnp.zeros((As, TB), jnp.int32)
+    out_m[...] = jnp.full((As, TB), -1, jnp.int32)
+    out_c[...] = jnp.full((As, TB), BIG, jnp.int32)
+    out_o[...] = jnp.zeros((As, TB), jnp.int32)
+    out_q[...] = jnp.zeros((As, TB), jnp.int32)
+    out_r[...] = jnp.broadcast_to(mrow, (As, TB))
+    out_nl[...] = jnp.zeros((As, TB), jnp.int32)
+    out_na[...] = jnp.zeros((As, TB), jnp.int32)
+    pok[...] = jnp.zeros((As, TB), jnp.int32)
 
     def step(d, cprev, pprev, cprev2, pprev2):
         """One wavefront step; reads planes d-1/d-2, returns plane d."""
@@ -300,10 +311,13 @@ def _kernel_wf(mode: str, Ap: int, L: int,
         if mode_front:
             refstart = jnp.maximum(-om, 0)
             oh_rs = rows3 == refstart[:, None, :]
-            kmax = jnp.sum(jnp.where(oh_rs, kbyrs_ref[...][:, :, None],
+            kmax = jnp.sum(jnp.where(oh_rs, tslice(kbyrs_ref,
+                                                   As)[:, :, None],
                                      0), axis=1)
         else:
-            kmax = jnp.broadcast_to(kconst_ref[:, 0][:, None], cm.shape)
+            kmax = jnp.broadcast_to(
+                jax.lax.slice(kconst_ref[...], (0, 0), (As, 1)),
+                cm.shape)
         ja = jnp.broadcast_to(d - mrow, cm.shape)
         ok = (cm <= kmax) & (ja <= lens)  # d < m rows hold BIG cost
         better = ok & ((mm > out_m[...]) |
@@ -342,7 +356,7 @@ def _kernel_wf(mode: str, Ap: int, L: int,
         # final-column candidates from the snapshot (identical to
         # _kernel's epilogue)
         sm = spay[...] >> PAYB
-        okf = sc[...] <= kfin_ref[...][:, :, None]
+        okf = sc[...] <= tslice(kfin_ref, As)[:, :, None]
         key = jnp.where(okf,
                         ((RP - sm) << 16)
                         + (jnp.minimum(sc[...], 255) << 8) + rows3,
@@ -362,7 +376,7 @@ def _kernel_wf(mode: str, Ap: int, L: int,
         out_m[...] = jnp.where(better, fm, out_m[...])
         out_c[...] = jnp.where(better, fc, out_c[...])
         out_o[...] = jnp.where(better, fo, out_o[...])
-        out_q[...] = jnp.where(better, jnp.broadcast_to(lens, (Ap, TB)),
+        out_q[...] = jnp.where(better, jnp.broadcast_to(lens, (As, TB)),
                                out_q[...])
         out_r[...] = jnp.where(better, frow, out_r[...])
 
@@ -376,18 +390,24 @@ LOCATE_IMPL = _os.environ.get("TPU_ORC_LOCATE_IMPL", "wf")
 
 @functools.partial(jax.jit,
                    static_argnames=("mode", "Ap", "L", "interpret",
-                                    "impl"))
+                                    "impl", "As"))
 def locate_tiles(ref, kbyrs, kfin, onem, mrow, kconst, reads_T, lens,
                  mode, Ap: int, L: int,
-                 interpret: bool = False, impl: str | None = None):
+                 interpret: bool = False, impl: str | None = None,
+                 As: int | None = None):
     """reads_T [L, B] int32, lens [1, B]; B % TB == 0. Returns 8 arrays
-    [Ap, B]: matches, errors, origin, qstop, valid, refstop-row, nloc,
-    nacc. mode: 'front' | 'back' | 'infix' (legacy bool = front/back).
-    impl: 'wf' | 'ks' (None = LOCATE_IMPL env default)."""
+    [As, B] (wf) / [Ap, B] (ks): matches, errors, origin, qstop, valid,
+    refstop-row, nloc, nacc. mode: 'front' | 'back' | 'infix' (legacy
+    bool = front/back). impl: 'wf' | 'ks' (None = LOCATE_IMPL env
+    default). As: true adapter count for the wavefront kernel's 3-D
+    state (defaults to Ap; a 4-primer reorient bank at As=4 halves the
+    per-column vector work the Ap=8 table padding would cost)."""
     if mode is True or mode is False:
         mode = "front" if mode else "back"
     if impl is None:
         impl = LOCATE_IMPL
+    if As is None or impl != "wf":
+        As = Ap
     if L >= (1 << PAYB) - RP:
         raise ValueError(f"read length {L} overflows the packed origin "
                          f"field (max {(1 << PAYB) - RP - 1})")
@@ -402,7 +422,7 @@ def locate_tiles(ref, kbyrs, kfin, onem, mrow, kconst, reads_T, lens,
         # one ascending slice at offset L - d + RP (kernel docstring)
         zpad = jnp.zeros((RP, B), reads_T.dtype)
         erev = jnp.concatenate([zpad, reads_T[::-1], zpad], axis=0)
-        kernel = functools.partial(_kernel_wf, mode, Ap, L)
+        kernel = functools.partial(_kernel_wf, mode, Ap, As, L)
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -412,11 +432,11 @@ def locate_tiles(ref, kbyrs, kfin, onem, mrow, kconst, reads_T, lens,
                 pl.BlockSpec((1, TB), lambda b: (0, b),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[pl.BlockSpec((Ap, TB), lambda b: (0, b),
+            out_specs=[pl.BlockSpec((As, TB), lambda b: (0, b),
                                     memory_space=pltpu.VMEM)] * 8,
-            out_shape=[jax.ShapeDtypeStruct((Ap, B), jnp.int32)] * 8,
-            scratch_shapes=[pltpu.VMEM((Ap, RP, TB), jnp.int32)] * 6
-            + [pltpu.VMEM((Ap, TB), jnp.int32)],
+            out_shape=[jax.ShapeDtypeStruct((As, B), jnp.int32)] * 8,
+            scratch_shapes=[pltpu.VMEM((As, RP, TB), jnp.int32)] * 6
+            + [pltpu.VMEM((As, TB), jnp.int32)],
             interpret=interpret,
         )(ref, kbyrs, kfin, onem, mrow, kconst, erev, lens)
     kernel = functools.partial(_kernel, mode, Ap, L)
@@ -562,7 +582,7 @@ def locate_dispatch(tabs: BankTables, read_masks: np.ndarray,
     lens[0, :B0] = read_lens
     m, c, o, q, v, r, nl, na = locate_tiles(
         *tabs.arrays(), jnp.asarray(reads_T), jnp.asarray(lens),
-        mode, tabs.Ap, L, interpret)
+        mode, tabs.Ap, L, interpret, As=tabs.A)
     return jnp.stack([m, c, o, q, v, r, nl, na]), tabs.A, B0
 
 

@@ -124,6 +124,8 @@ def main(argv=None):
     sp.add_argument("--exemplars-18s")
     sp.add_argument("--exemplars-28s")
     sp.add_argument("--hmm", help="HMMER3 .hmm with 18S/28S models")
+    sp.add_argument("--cm", help="Infernal .cm (Rfam SSU/LSU models; "
+                                 "pybarrnap variant)")
 
     sp = add("prewarm")
     sp.add_argument("--adapters-dir",
@@ -178,6 +180,10 @@ def main(argv=None):
     sp.add_argument("--rrna-hmm", default=None,
                     help="HMMER3 .hmm (e.g. barrnap euk.hmm) for stage 05; "
                          "default = universal junction anchors")
+    sp.add_argument("--rrna-cm", default=None,
+                    help="Infernal .cm (e.g. Rfam 14.10 SSU/LSU) for "
+                         "stage 05 — the pybarrnap variant; scored via "
+                         "the CM's embedded p7 filter (rrna/cm.py)")
     sp.add_argument("--exemplars-18s", default=None)
     sp.add_argument("--exemplars-28s", default=None)
     sp.add_argument("--mesh", action="store_true",
@@ -264,7 +270,14 @@ def main(argv=None):
         if args.exemplars_28s:
             kw["exemplars_28s"] = [r.seq for r in
                                    read_fasta(args.exemplars_28s)]
-        if args.hmm:
+        if args.cm:
+            from .rrna.cm import parse_cm, profiles_by_gene
+            bygene = profiles_by_gene(parse_cm(args.cm))
+            if "18S" in bygene:
+                kw["profile_18s"] = bygene["18S"]
+            if "28S" in bygene:
+                kw["profile_28s"] = bygene["28S"]
+        elif args.hmm:
             models = {m.name: m for m in parse_hmmer3(args.hmm)}
             for name, m in models.items():
                 if "18" in name:
@@ -335,6 +348,7 @@ def main(argv=None):
     elif args.cmd == "run-all":
         from .pipeline.stages import PipelineConfig, run_all
         cfg = PipelineConfig(rrna_hmm=args.rrna_hmm,
+                             rrna_cm=args.rrna_cm,
                              rrna_exemplars_18s=args.exemplars_18s,
                              rrna_exemplars_28s=args.exemplars_28s,
                              use_mesh=args.mesh,

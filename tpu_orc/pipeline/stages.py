@@ -51,6 +51,7 @@ class PipelineConfig:
     rrna_exemplars_18s: Optional[str] = None  # FASTA paths
     rrna_exemplars_28s: Optional[str] = None
     rrna_hmm: Optional[str] = None            # HMMER3 file (barrnap euk.hmm)
+    rrna_cm: Optional[str] = None             # Infernal .cm (Rfam; rrna/cm.py)
     # multi-chip: shard demux reads + clustering pattern stripes over a
     # ('data','pair') device mesh (dist/sharded.py). False = single
     # device; True = all visible devices (SLURM-array fan-out replaced
@@ -189,7 +190,14 @@ def stage_rrna(cleaned_fasta: str, outdir: str, barcode: str,
     ex28 = ([r.seq for r in read_fasta(cfg.rrna_exemplars_28s)]
             if cfg.rrna_exemplars_28s else None)
     p18 = p28 = None
-    if cfg.rrna_hmm:
+    if cfg.rrna_cm:
+        # pybarrnap/infernal variant (README.md:50-51): Rfam-layout .cm
+        # models, scored via each CM's embedded p7 filter (rrna/cm.py)
+        from ..rrna.cm import parse_cm, profiles_by_gene
+        bygene = profiles_by_gene(parse_cm(cfg.rrna_cm))
+        p18 = bygene.get("18S")
+        p28 = bygene.get("28S")
+    elif cfg.rrna_hmm:
         from ..rrna.hmm import parse_hmmer3
         models = {m.name: m for m in parse_hmmer3(cfg.rrna_hmm)}
         p18 = models.get("18S_rRNA")

@@ -645,8 +645,10 @@ def main():
         else:
             note("reorient: warmup/compile ...")
             reorient_round()
-            note("reorient: timed reps")
-            timed_reps("reorient", reorient_round, reps=3)
+            note("reorient: timed reps (adaptive — the stage is "
+                 "bimodal across relay phases)")
+            adaptive_reps("reorient", reorient_round, min_reps=4,
+                          max_reps=10, patience=3, section_budget_s=12)
             reo_pass = reorienter.run(rrecs).stats["pass"]
         # CPU baseline for stage 01 (VERDICT r4 weak#2: no vs_ref for
         # reorient): ONE core scanning the same 4-primer bank over the
@@ -907,6 +909,14 @@ def main():
             "reorient_vs_ref_24core": (
                 round((RB / t_reo) / (cpu_reo_rps * 24), 2)
                 if (t_reo and cpu_reo_rps) else None),
+            # framing: the 1-core number is a raw C++ DP doing ONE
+            # primer scan per read — an UPPER bound on pychopper's
+            # per-core rate (pychopper adds per-read Python, rescue
+            # re-alignments and orchestration on top of edlib); the
+            # device number is the FULL stage (autotune, classify,
+            # enumeration+scheduling, segment materialization)
+            "reorient_cpu_baseline_note": "1-core = raw DP scan only; "
+                                          "upper-bounds pychopper",
             "reorient_pass_reads": reo_pass,
             "reorient_backend": reorient_backend,
             "demux_backend": demux_backend,

@@ -24,6 +24,9 @@ import json
 import sys
 
 
+__version__ = "0.5.0"  # round-5 build
+
+
 def main(argv=None):
     # honor JAX_PLATFORMS despite the axon plugin's import-time config
     # stomp (see tests/conftest.py)
@@ -42,6 +45,8 @@ def main(argv=None):
             jax.config.update("jax_platforms", "")
 
     p = argparse.ArgumentParser(prog="tpu_orc", description=__doc__)
+    p.add_argument("-v", "--version", action="version",
+                   version=f"tpu_orc {__version__}")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def add(name, **kw):

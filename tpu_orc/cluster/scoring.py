@@ -200,18 +200,35 @@ class DeviceScorer:
         computed = D >= 0
         self.pairs_scored += int(computed.sum())
         sims = np.where(computed, np.round(1.0 - D / longer, 3), -1.0)
-        # rc retry only for computed pairs with fwd sim < 0.5
+        # rc retry only for computed pairs with fwd sim < 0.5 — one
+        # threaded native crossing per source read instead of one
+        # ctypes call per pair (a 2-species 80-read bin has ~1600 low
+        # cross-species pairs; the per-call overhead was the profile's
+        # second-largest term after the pileups, r5)
         rev = np.zeros_like(computed)
         low_i, low_j = np.nonzero(computed & (sims < 0.5))
+        from collections import defaultdict
+
         from ..io import encode as _enc
+        rc_cache: dict = {}
+        byi = defaultdict(list)
         for i, j in zip(low_i, low_j):
-            rc = _enc.revcomp_codes(np.asarray(codes_list[j]))
-            d = native.edit_distance(codes_list[i], rc)
-            s = round(1.0 - d / longer[i, j], 3)
-            self.pairs_scored += 1
-            if s > sims[i, j]:
-                sims[i, j] = s
-                rev[i, j] = True
+            byi[int(i)].append(int(j))
+        for i, js in byi.items():
+            rcs = []
+            for j in js:
+                r = rc_cache.get(j)
+                if r is None:
+                    r = rc_cache[j] = _enc.revcomp_codes(
+                        np.asarray(codes_list[j]))
+                rcs.append(r)
+            ds = native.nw_dist_batch(np.asarray(codes_list[i]), rcs)
+            self.pairs_scored += len(js)
+            for j, dj in zip(js, ds):
+                s = round(1.0 - dj / longer[i, j], 3)
+                if s > sims[i, j]:
+                    sims[i, j] = s
+                    rev[i, j] = True
         keep = computed & (sims >= keep_threshold)
         ii, jj = np.nonzero(keep)
         return PairHits(ii, jj, sims[keep], rev[keep])
@@ -287,26 +304,38 @@ class DeviceScorer:
 
 
     def _rvc_native(self, read_codes, cons_codes, band, out):
+        """One threaded native crossing per read (all gated consensuses
+        batched) + one per rc-retry subset, instead of one ctypes call
+        per (read, consensus) pair — identical per-pair arithmetic."""
         from .. import native
         from ..io import encode as _enc
+        ccods = [np.asarray(c) for c in cons_codes]
         for r, rcod in enumerate(read_codes):
             rcod = np.asarray(rcod)
-            rcrev = None
-            for c, ccod in enumerate(cons_codes):
+            gated = []
+            his = []
+            for c, ccod in enumerate(ccods):
                 lo, hi = sorted((len(rcod), len(ccod)))
                 if lo * band < hi or lo == 0:
                     continue
-                d = native.edit_distance(rcod, ccod)
-                s = round(1.0 - d / hi, 3)
-                self.pairs_scored += 1
-                if s < 0.5:
-                    if rcrev is None:
-                        rcrev = _enc.revcomp_codes(rcod)
-                    dr = native.edit_distance(rcrev, ccod)
-                    sr = round(1.0 - dr / hi, 3)
-                    self.pairs_scored += 1
-                    if sr > s:
-                        s = sr
+                gated.append(c)
+                his.append(hi)
+            if not gated:
+                continue
+            ds = native.nw_dist_batch(rcod, [ccods[c] for c in gated])
+            self.pairs_scored += len(gated)
+            ss = [round(1.0 - d / h, 3) for d, h in zip(ds, his)]
+            low = [k for k, s in enumerate(ss) if s < 0.5]
+            if low:
+                rcrev = _enc.revcomp_codes(rcod)
+                dr = native.nw_dist_batch(rcrev,
+                                          [ccods[gated[k]] for k in low])
+                self.pairs_scored += len(low)
+                for k, d in zip(low, dr):
+                    sr = round(1.0 - d / his[k], 3)
+                    if sr > ss[k]:
+                        ss[k] = sr
+            for c, s in zip(gated, ss):
                 out[r, c] = s
         return out
 

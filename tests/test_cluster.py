@@ -425,3 +425,33 @@ def test_sort_cli_flags_aln_all_ho(tmp_path):
     widths = {len(ln) for ln in lines[1::2]}
     assert len(widths) == 1  # all rows share the alignment width
     assert txt.count(">") == 13  # consensus + 12 members
+
+
+def test_sort_cli_folder_input(tmp_path):
+    """Reference -i accepts a FOLDER of bin files (amplicon_sorter.py
+    main loop): every file sorts into its own outputs."""
+    import json
+
+    import numpy as np
+    from tpu_orc.cli import main as cli_main
+    from tpu_orc.io.fastq import Record, write_records
+
+    rng = np.random.default_rng(41)
+    ind = tmp_path / "bins"
+    ind.mkdir()
+    for b in range(2):
+        t = "".join(rng.choice(list("ACGT"), size=330))
+        recs = []
+        for i in range(8):
+            s = list(t)
+            for p in rng.choice(len(s), 4, replace=False):
+                s[int(p)] = "ACGT"[int(rng.integers(4))]
+            recs.append(Record(f"b{b}r{i}", f"b{b}r{i}", "".join(s),
+                               "I" * len(s)))
+        write_records(str(ind / f"bin{b}.fastq"), recs, fmt="fastq")
+    cli_main(["sort", str(ind), "-o", str(tmp_path / "out")])
+    for b in range(2):
+        p = (tmp_path / "out" / "sorted"
+             / f"bin{b}_consensus_amplicons.fasta")
+        assert p.exists(), p
+        assert open(p).read().count(">") >= 1

@@ -71,9 +71,12 @@ def main(argv=None):
     sp.add_argument("-e", "--error-rate", type=float, default=0.1)
 
     sp = add("sort")
-    sp.add_argument("input")
+    sp.add_argument("input", help="bin fastq/fasta(.gz) OR a folder of "
+                                  "them (reference -i accepts both)")
     sp.add_argument("-o", "--outdir", required=True)
-    sp.add_argument("-b", "--barcode", required=True)
+    sp.add_argument("-b", "--barcode", default=None,
+                    help="output name for single-file input (required "
+                         "unless input is a folder)")
     sp.add_argument("-p", "--prefix", default="amplicons")
     sp.add_argument("--min", type=int, default=300)
     sp.add_argument("--max", type=int, default=None)
@@ -110,6 +113,10 @@ def main(argv=None):
     sp.add_argument("--ho", action="store_true",
                     help="only write the read-length histogram figure "
                          "(-ho/--histogram_only)")
+    sp.add_argument("--mac", action="store_true",
+                    help="accepted for reference-CLI compatibility "
+                         "(macOS multiprocessing workaround; no-op "
+                         "here)")
 
     sp = add("clean")
     sp.add_argument("input")
@@ -247,6 +254,38 @@ def main(argv=None):
             length_diff_consensus=args.ldc,
             random_selection=not args.sequential,
             compare_all=args.compare_all))
+        import os as _os
+        if not _os.path.isdir(args.input) and not args.barcode:
+            raise SystemExit("sort: -b/--barcode is required for a "
+                             "single-file input")
+        if _os.path.isdir(args.input):
+            # reference -i accepts a FOLDER: every fastq/fasta(.gz) in
+            # it is sorted in name order, each into its own outputs
+            # (amplicon_sorter.py:2134-2188 main loop); barcode =
+            # file stem, '-b' becomes a prefix for the summary only
+            import glob as _glob
+            files = sorted(
+                p for pat in ("*.fastq", "*.fastq.gz", "*.fasta",
+                              "*.fasta.gz")
+                for p in _glob.glob(_os.path.join(args.input, pat)))
+            summary = []
+            for p in files:
+                stem = _os.path.basename(p)
+                for suf in (".gz", ".fastq", ".fasta"):
+                    if stem.endswith(suf):
+                        stem = stem[:-len(suf)]
+                result, path = stage_sort(
+                    p, args.outdir, stem, args.prefix, cfg,
+                    save_fastq=args.sfq, compressed=args.gz,
+                    alignment=args.aln)
+                summary.append(
+                    {"file": p, "skipped": result.skipped,
+                     "reads": result.n_reads,
+                     "species_groups": sum(len(s)
+                                           for s in result.species),
+                     "consensus": path})
+            print(json.dumps({"folder": args.input, "sorted": summary}))
+            return 0
         result, path = stage_sort(args.input, args.outdir, args.barcode,
                                   args.prefix, cfg, save_fastq=args.sfq,
                                   compressed=args.gz,

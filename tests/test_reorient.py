@@ -476,3 +476,68 @@ def test_interior_fused_not_emitted_as_chimera(profiles):
 
         assert wobble(res.rescued[0].seq, ins1), trial
         assert wobble(res.rescued[1].seq, ins2), trial
+
+
+def test_fast_path_equals_forced_scheduler_adversarial(profiles):
+    """r5 property: the nloc/nacc-gated fast path must produce EXACTLY
+    the forced-enumeration outputs on a messy batch — noisy primers,
+    fused reads, truncated primers, primer-free junk, '-' strands —
+    not just on clean single-segment reads (the existing test).
+
+    Note FORCE_SCHEDULE re-enumerates with masked re-scans, which can
+    find MORE acceptable locations than the complete-by-evidence seed
+    sets prove exist only when evidence says 'incomplete' — on
+    complete reads both paths see the same hit set by construction, so
+    any output difference is a routing bug."""
+    rng = np.random.default_rng(20260821)
+    sp5, sp27 = profiles
+
+    def mutate(s, k):
+        s = list(s)
+        for pos in rng.choice(len(s), min(k, len(s)), replace=False):
+            s[int(pos)] = "G" if s[int(pos)] != "G" else "A"
+        return "".join(s)
+
+    recs = []
+    for i in range(60):
+        kind = i % 6
+        ins = "".join(rng.choice(list("ACGT"),
+                                 size=int(rng.integers(80, 300))))
+        p5 = concretize(rng, sp5)
+        p27r = encode.revcomp(concretize(rng, sp27))
+        if kind == 0:        # clean
+            s = p5 + ins + p27r
+        elif kind == 1:      # noisy both primers
+            s = mutate(p5, 6) + ins + mutate(p27r, 6)
+        elif kind == 2:      # fused 2-unit
+            ins2 = "".join(rng.choice(list("ACGT"), size=150))
+            s = (p5 + ins + mutate(p27r, 5)
+                 + mutate(concretize(rng, sp5), 5) + ins2
+                 + encode.revcomp(concretize(rng, sp27)))
+        elif kind == 3:      # truncated 5' primer (partial at start)
+            s = p5[25:] + ins + p27r
+        elif kind == 4:      # junk, no primers
+            s = ins
+        else:                # 5' only, no 3' primer
+            s = p5 + ins
+        if i % 4 == 1:
+            s = encode.revcomp(s)
+        recs.append(Record(f"a{i}", f"a{i}", s, q(len(s))))
+
+    fast = Reorienter(PRIMERS, CONFIG, ReorientConfig(q=0.75))
+    res_fast = fast.run(recs)
+    forced = Reorienter(PRIMERS, CONFIG, ReorientConfig(q=0.75))
+    forced.FORCE_SCHEDULE = True
+    res_forced = forced.run(recs)
+
+    def sig(res):
+        return ([(x.id, x.seq, x.qual) for x in res.passed],
+                [(x.id, x.seq, x.qual) for x in res.rescued],
+                sorted(x.id for x in res.unclass),
+                sorted(x.id for x in res.short))
+
+    f, g = sig(res_fast), sig(res_forced)
+    assert f[0] == g[0], "pass outputs diverge"
+    assert f[1] == g[1], "rescued outputs diverge"
+    assert f[2] == g[2], "unclass sets diverge"
+    assert f[3] == g[3], "short sets diverge"

@@ -160,7 +160,12 @@ def stage_sort(bin_fastq: str, outdir: str, barcode: str, prefix: str,
     sorter = AmpliconSorter(cfg.sorter, scorer=scorer)
     result = sorter.sort_records(records)
     sorted_dir = os.path.join(outdir, "sorted", barcode)
+    # results.txt parameter echo (the reference's save_arguments writes
+    # every setting into the audit trail, amplicon_sorter.py:193-223)
+    from dataclasses import asdict
+    params = {k: v for k, v in asdict(cfg.sorter).items()}
     write_sort_outputs(result, records, sorted_dir, barcode,
+                       params=params,
                        save_fastq=save_fastq, compressed=compressed,
                        alignment=alignment)
     consensus_path = write_barcode_consensus(

@@ -721,10 +721,17 @@ def main():
                       "/tmp/orc_bench_plate_warm2")
             note("plate: generating 96-bin plate (80 reads/bin) ...")
             precs = make_plate(sp5, sp27, n_per_bin=80)
-            note(f"plate: run_all on {len(precs)} reads ...")
+            note(f"plate: run_all on {len(precs)} reads (min of 2 — "
+                 "a single run samples one relay phase) ...")
             t0 = time.perf_counter()
             rep = run_plate(precs, "/tmp/orc_bench_plate")
             t_plate = time.perf_counter() - t0
+            if work_elapsed() < BUDGET_S * 0.85:
+                t0 = time.perf_counter()
+                rep2 = run_plate(precs, "/tmp/orc_bench_plate")
+                t2 = time.perf_counter() - t0
+                if t2 < t_plate:
+                    t_plate, rep = t2, rep2
             bins_found = len(rep.get("barcodes", {}))
             groups = sum(bc.get("species_groups", 0)
                          for bc in rep.get("barcodes", {}).values())
